@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+Defaults mirror the reference's production tuning and the golden fixture
+config from FIXTURES.md §4: {k_shingle=5, minhash_k=128, simhash bands 8x8
+bits, radius=4}.
+
+- radius defaults: dedup 2 / cross-similarity 4 / interactive 6
+  (/root/reference/deduplicator/ProcessArchive.py:19, :746, :863)
+- hot-key thresholds: >500 matches logged, >100 candidates skipped
+  (/root/reference/dbPhashApi.py:185-191,
+   /root/reference/deduplicator/ProcessArchive.py:504-513)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.hashing import BAD_SIMHASHES, MinHashParams
+
+
+def bands_for_radius(radius: int) -> int:
+    """Smallest divisor of 64 strictly greater than radius (pigeonhole: full
+    recall at Hamming radius r requires > r bands)."""
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if b > radius:
+            return b
+    raise ValueError(f"radius {radius} out of range 0..63")
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    k_shingle: int = 5
+    minhash_k: int = 128
+    minhash_bands: int = 32  # 32 bands x 4 rows over the 128-sig
+    simhash_radius: int = 4
+    simhash_bands: int = 8  # 8 x 8-bit bands: full recall for r <= 7
+    seed: int = 42
+    # skew handling (reference analogs cited in module docstring)
+    hot_band_threshold: int = 500
+    hot_band_salt: int = 16
+    candidate_cap: int | None = None  # None = exact (no reference-style skip)
+    blacklist: tuple[int, ...] = BAD_SIMHASHES
+    minhash_params: MinHashParams = field(default_factory=MinHashParams.make)
+
+    def __post_init__(self):
+        if 64 % self.simhash_bands != 0:
+            raise ValueError("simhash_bands must divide 64")
+        if self.simhash_bands <= self.simhash_radius:
+            raise ValueError(
+                f"recall<1: need bands > radius (got {self.simhash_bands} bands, "
+                f"radius {self.simhash_radius})"
+            )
+        if self.minhash_k % self.minhash_bands != 0:
+            raise ValueError("minhash_bands must divide minhash_k")
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,87 @@
+"""JVM-side Column helpers: Hamming distance, band extraction, n-grams, tokens.
+
+Everything here stays inside whole-stage codegen (no Python in the hot path).
+``hamming`` is the distributed analog of the reference's popcount kernel
+(/root/reference/deduplicator/bktree.hpp:43-60): ``bit_count`` compiles to
+``java.lang.Long.bitCount`` on the two's-complement pattern, so signed int64
+semantics match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two signed-int64 bit patterns (0..64)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def band_key(sig: Column | str, band_idx: int, band_width: int) -> Column:
+    """Extract band ``band_idx`` (LSB-first) of width ``band_width`` bits.
+
+    Logical shift so the sign bit never leaks into other bands. This is the
+    LSH layout that replaces the BK-tree's metric pruning
+    (/root/reference/deduplicator/bktree.hpp:224-258): by pigeonhole, two
+    signatures within Hamming distance r share at least one of B bands
+    whenever r < B.
+    """
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    if band_width == 64:
+        return sig  # single full-width band: the signature is the key
+    mask = F.lit((1 << band_width) - 1).cast("long")
+    return F.shiftrightunsigned(sig, band_idx * band_width).bitwiseAND(mask)
+
+
+def band_keys_array(sig: Column | str, n_bands: int) -> Column:
+    """Array of all band keys for a signature; 64 must divide evenly."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    w = 64 // n_bands
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    return F.array(*[band_key(sig, i, w) for i in range(n_bands)])
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization matching hashing.tokenize: split \\s+, drop ''."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def char_ngrams(text: Column | str, n: int) -> Column:
+    """All character n-grams of a string (JVM-side, no UDF); [] if too short."""
+    text = F.col(text) if isinstance(text, str) else text
+    m = F.length(text) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(text, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_shingles(toks: Column | str, k: int) -> Column:
+    """k-token shingles joined by ' ' from a token array; [] if < k tokens."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    m = F.size(toks) - F.lit(k - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def canonical_pair(id_a: Column | str, id_b: Column | str) -> list[Column]:
+    """(least, greatest) pair canonicalization.
+
+    Mirrors the reference's CHECK (item_1_link < item_2_link) edge
+    convention (/root/reference/dbApi.py:94-96, :417-425).
+    """
+    id_a = F.col(id_a) if isinstance(id_a, str) else id_a
+    id_b = F.col(id_b) if isinstance(id_b, str) else id_b
+    return [
+        F.least(id_a, id_b).alias("id_lo"),
+        F.greatest(id_a, id_b).alias("id_hi"),
+    ]

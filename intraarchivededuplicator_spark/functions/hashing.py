@@ -1,0 +1,216 @@
+"""Signature spec: tokenization, token/shingle hashes, SimHash64, MinHash.
+
+This module is the *single source of truth* for signature semantics. The
+Spark engine (vectorized pandas UDFs in ``functions/udfs.py``) and the DuckDB
+oracle SQL (``__spark_entry__.oracle_sql``) both implement exactly these
+definitions, so the driver's differential check is an end-to-end parity test.
+
+Reference parity notes (capability mapping, not a port):
+- signed 64-bit storage convention mirrors the reference's pHash column
+  (``/root/reference/dbApi.py:64``) and two's-complement converters
+  (``/root/reference/scanner/unitConverters.py:5-34``).
+- Hamming distance on signed int64 mirrors
+  ``/root/reference/deduplicator/bktree.hpp:43-60``.
+- SimHash64 replaces the image pHash (``/root/reference/scanner/hashFile.py:95-106``)
+  per the web-text graft; MinHash replaces dHash as the second fingerprint
+  family (``/root/reference/scanner/hashFile.py:115-120``).
+
+All hashes are derived from md5 so that DuckDB (``md5(s)``) and Python
+(``hashlib.md5``) agree byte-for-byte on UTF-8 input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+UINT64 = 1 << 64
+INT64_MIN = -(1 << 63)
+INT64_MAX = (1 << 63) - 1
+
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1; keeps a*h+b in int64
+
+# Degenerate-signature blacklist: SimHash of empty / whitespace-only text is 0
+# (no tokens -> all-zero accumulator). Mirrors the reference's BAD_PHASHES
+# blank-page blacklist {0, -2^63} (/root/reference/deduplicator/ProcessArchive.py:21-27).
+BAD_SIMHASHES = (0, INT64_MIN)
+
+_WS_RE = re.compile(r"\s+")
+
+
+def to_signed64(u: int) -> int:
+    """Two's-complement fold of an unsigned 64-bit value into signed int64.
+
+    Same convention as /root/reference/scanner/unitConverters.py:15-19.
+    """
+    u &= UINT64 - 1
+    return u - UINT64 if u >= (1 << 63) else u
+
+
+def to_unsigned64(s: int) -> int:
+    return s + UINT64 if s < 0 else s
+
+
+def bin_str_to_int64(bits: str) -> int:
+    """64-char '0'/'1' string -> signed int64 (MSB first).
+
+    Parity helper for the reference's test vectors
+    (/root/reference/scanner/unitConverters.py:5-19).
+    """
+    if len(bits) != 64:
+        raise ValueError("Input strings must be 64 chars long!")
+    return to_signed64(int(bits, 2))
+
+
+def int64_to_bin_str(v: int) -> str:
+    return format(to_unsigned64(v), "064b")
+
+
+def hamming64(a: int, b: int) -> int:
+    """popcount(a XOR b) over the 64-bit two's-complement patterns."""
+    return bin(to_unsigned64(a) ^ to_unsigned64(b)).count("1")
+
+
+def tokenize(text: str) -> list[str]:
+    """Split on whitespace runs, dropping empties.
+
+    Oracle-SQL equivalent: ``string_split_regex(text, '\\s+')`` + filter '' .
+    """
+    if not text:
+        return []
+    return [t for t in _WS_RE.split(text) if t]
+
+
+def token_hash64(token: str) -> int:
+    """Signed int64 from the first 8 bytes (big-endian) of md5(token).
+
+    Oracle-SQL equivalent (DuckDB)::
+
+        CASE WHEN ('0x' || substr(md5(t), 1, 1))::BIGINT >= 8
+             THEN (('0x' || substr(md5(t), 1, 1))::BIGINT - 16) * (1::BIGINT << 60)
+                  + ('0x' || substr(md5(t), 2, 15))::BIGINT
+             ELSE ('0x' || substr(md5(t), 1, 1))::BIGINT * (1::BIGINT << 60)
+                  + ('0x' || substr(md5(t), 2, 15))::BIGINT
+        END
+    """
+    d = hashlib.md5(token.encode("utf-8")).digest()
+    return to_signed64(int.from_bytes(d[:8], "big"))
+
+
+def shingle_hash32(shingle: str) -> int:
+    """Unsigned 32-bit from the first 4 bytes of md5(shingle); fits in int64.
+
+    Oracle-SQL equivalent: ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+    """
+    d = hashlib.md5(shingle.encode("utf-8")).digest()
+    return int.from_bytes(d[:4], "big")
+
+
+def shingles(tokens: list[str], k: int) -> list[str]:
+    """k-token shingles joined by a single space; empty if fewer than k tokens."""
+    n = len(tokens)
+    if n < k:
+        return []
+    return [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, weighted by occurrence count.
+
+    bit j = 1  iff  sum_t count(t) * (+1 if bit j of token_hash64(t) else -1) > 0
+
+    Empty token stream -> 0 (degenerate, see BAD_SIMHASHES). Returned signed.
+    """
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    for t, c in counts.items():
+        h = to_unsigned64(token_hash64(t))
+        bits = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
+        acc += (2 * bits - 1) * c
+    u = 0
+    for j in range(64):
+        if acc[j] > 0:
+            u |= 1 << j
+    return to_signed64(u)
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    """Seeded universal-hash family for MinHash: (a_i * h + b_i) mod p.
+
+    a in [1, p-1], b in [0, p-1]; h is the unsigned 32-bit shingle hash, so
+    a*h + b < 2^62 fits int64 without overflow in either engine.
+    """
+
+    k: int = 128
+    seed: int = 42
+    a: tuple[int, ...] = field(default=())
+    b: tuple[int, ...] = field(default=())
+
+    @staticmethod
+    def make(k: int = 128, seed: int = 42) -> "MinHashParams":
+        rng = np.random.RandomState(seed)
+        a = tuple(int(x) for x in rng.randint(1, MINHASH_PRIME, size=k))
+        b = tuple(int(x) for x in rng.randint(0, MINHASH_PRIME, size=k))
+        return MinHashParams(k=k, seed=seed, a=a, b=b)
+
+
+def minhash_sig(text: str, k_shingle: int, params: MinHashParams) -> list[int] | None:
+    """MinHash signature over k-token shingles; None if no shingles.
+
+    sig_i = min over shingles s of (a_i * shingle_hash32(s) + b_i) mod p.
+    """
+    sh = shingles(tokenize(text), k_shingle)
+    if not sh:
+        return None
+    hs = np.array(sorted({shingle_hash32(s) for s in sh}), dtype=np.int64)
+    a = np.array(params.a, dtype=np.int64)[:, None]
+    b = np.array(params.b, dtype=np.int64)[:, None]
+    vals = (a * hs[None, :] + b) % MINHASH_PRIME
+    return [int(x) for x in vals.min(axis=1)]
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized batch SimHash with a per-batch token-hash memo.
+
+    Used by the pandas UDF; matches simhash64() exactly. Bit unpacking is
+    numpy-vectorized; md5 per *unique* token is memoized across the batch
+    (zipfian web text repeats tokens heavily).
+    """
+    memo: dict[str, np.ndarray] = {}
+    out = np.zeros(len(texts), dtype=np.int64)
+    weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+    for i, text in enumerate(texts):
+        toks = tokenize(text) if isinstance(text, str) else []
+        if not toks:
+            out[i] = 0
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        acc = np.zeros(64, dtype=np.int64)
+        for t, c in counts.items():
+            bits = memo.get(t)
+            if bits is None:
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                h = int.from_bytes(d[:8], "big")
+                bits = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
+                ).astype(np.int64)
+                memo[t] = bits
+            acc += (2 * bits - 1) * c
+        pos = acc > 0
+        # signed value = sum of low-63 bit weights, minus 2^63 if bit 63 set
+        u = int(np.sum(weights[pos[:63]], dtype=np.uint64))
+        if pos[63]:
+            u -= 1 << 63
+        out[i] = u
+    return out

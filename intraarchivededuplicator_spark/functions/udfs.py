@@ -1,0 +1,83 @@
+"""Vectorized (Arrow-batched) pandas UDFs for the signature surface.
+
+The reference computes MD5 + pHash per item in worker processes
+(/root/reference/scanner/hashFile.py:135-164); here the same surface is one
+Arrow-batched pass per partition — no per-row Python, per BASELINE input_hint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from .hashing import (
+    MINHASH_PRIME,
+    MinHashParams,
+    shingle_hash32,
+    shingles,
+    simhash64_batch,
+    tokenize,
+)
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(simhash64_batch(texts.tolist()))
+
+
+@F.pandas_udf(StringType())
+def md5_hex_udf(texts: pd.Series) -> pd.Series:
+    """Python-side md5 (matches F.md5(encode(.,'UTF-8')); kept for parity tests)."""
+    return texts.map(lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest())
+
+
+def make_minhash_udf(k_shingle: int, params: MinHashParams):
+    """Returns a pandas UDF text -> array<long> MinHash signature (null if no shingles)."""
+    a = np.array(params.a, dtype=np.int64)[:, None]
+    b = np.array(params.b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        memo: dict[str, int] = {}
+        for text in texts:
+            toks = tokenize(text) if isinstance(text, str) else []
+            sh = shingles(toks, k_shingle)
+            if not sh:
+                out.append(None)
+                continue
+            uniq = set(sh)
+            hs = np.empty(len(uniq), dtype=np.int64)
+            for i, s in enumerate(uniq):
+                h = memo.get(s)
+                if h is None:
+                    h = shingle_hash32(s)
+                    memo[s] = h
+                hs[i] = h
+            vals = (a * hs[None, :] + b) % MINHASH_PRIME
+            out.append(vals.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def make_min_shingle_udf(k_shingle: int):
+    """text -> smallest shingle_hash32 over its k-shingles (null if none).
+
+    Rolling-hash document fingerprint (winnowing-style anchor); also the
+    anchor used by the containment candidate generator.
+    """
+
+    @F.pandas_udf(LongType())
+    def min_shingle_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            sh = shingles(tokenize(text) if isinstance(text, str) else [], k_shingle)
+            out.append(min(shingle_hash32(s) for s in sh) if sh else None)
+        return pd.Series(out, dtype="object")
+
+    return min_shingle_udf

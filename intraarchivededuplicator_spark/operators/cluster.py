@@ -1,0 +1,137 @@
+"""Distributed connected components (union-find) over the pairs table.
+
+Replaces the reference's Neo4j similarity graph, whose connected components
+are the duplicate clusters (/root/reference/graphApi.py:15-27,
+/root/reference/invertDb.py:74-91).
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the standard shuffle-efficient
+CC for DataFrame engines (also what GraphFrames uses):
+
+  large-star: every node connects its strictly-larger neighbors to the
+              minimum of its closed neighborhood;
+  small-star: every node connects its not-larger neighbors (and itself) to
+              that minimum.
+
+The fixpoint is a forest of stars centered at each component's minimum id,
+reached in O(log^2 n) rounds worst case (O(log n) in practice) — including on
+path graphs, where naive min-propagation needs O(diameter) rounds. Each round
+is localCheckpoint()ed to cut lineage (at cluster scale this is a parquet/
+Iceberg stage checkpoint, see engine/checkpoint.py).
+
+Cluster id = min member id: stable and deterministic across runs and
+partitionings (R3 determinism discipline,
+/root/reference/deduplicator/ProcessArchive.py:204-207).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    sym = _symmetric(e)
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select("a", F.least("a", "nb").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))  # (larger, min)
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (big -> small); connect each node's small neighbors and
+    itself to the minimum of those."""
+    oriented = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        moved.unionByName(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # xor-fold (never overflows, edges are distinct) + count; used only for
+    # the fixpoint early-stop — a late stop is harmless, rounds are idempotent
+    # at the fixpoint
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_lo",
+    dst: str = "id_hi",
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """edges (src, dst) -> (id, cluster_id) for every id appearing in edges.
+
+    cluster_id = min node id in the component. Isolated nodes (no edges) are
+    not emitted; see assign_clusters().
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+    prev = _checksum(e)
+    if prev[0] == 0:
+        return edges.sparkSession.createDataFrame([], "id long, cluster_id long")
+
+    for _ in range(max_iterations):
+        e = _large_star(e)
+        e = _small_star(e)
+        if checkpoint:
+            e = e.localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixpoint: stars (member -> root). Members map to root; roots to self.
+    members = e.select(
+        F.greatest("a", "b").alias("id"), F.least("a", "b").alias("cluster_id")
+    ).groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+    roots = (
+        e.select(F.least("a", "b").alias("id"))
+        .distinct()
+        .join(members.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return members.unionByName(roots)
+
+
+def assign_clusters(
+    all_ids: DataFrame, edges: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """(id) x (id_lo, id_hi) -> (id, cluster_id); singletons keep their own id."""
+    cc = connected_components(edges)
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )

@@ -1,0 +1,107 @@
+"""MinHash-LSH candidate generation (the second fingerprint family).
+
+Replaces the reference's secondary hash (dHash slot,
+/root/reference/scanner/hashFile.py:115-120) with set-similarity LSH:
+k-token shingles -> MinHash(k) -> band the signature into b bands of r rows
+-> docs sharing any band's hashed slice become candidate pairs. Standard
+(b, r) S-curve: P(candidate) = 1 - (1 - s^r)^b for Jaccard s.
+
+Band key = xxhash64 of the band's rows (JVM-side over the sig array slice);
+pairs are verified downstream (exact Jaccard or containment) before entering
+the pairs table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.columns import canonical_pair
+
+
+def minhash_band_keys(
+    sig_col: str, n_bands: int, rows_per_band: int
+) -> F.Column:
+    """array<long> signature -> array of n_bands 64-bit band digests."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(i), F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "minhash",
+    n_bands: int = 32,
+    rows_per_band: int | None = None,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Canonical candidate pairs (id_lo, id_hi, n_shared_bands).
+
+    Null signatures (no shingles — degenerate docs) are excluded, mirroring
+    the pHash IS NOT NULL gate (/root/reference/dbApi.py:395-404).
+    """
+    src = df.filter(F.col(sig_col).isNotNull())
+    sig_len_expr = F.size(F.col(sig_col))
+    if rows_per_band is None:
+        # infer from the first row at plan time is not possible; require caller
+        # config — default derived from common 128-sig
+        rows_per_band = 4
+    bands = src.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(minhash_band_keys(sig_col, n_bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    if hot_threshold is not None:
+        hot = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > hot_threshold)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
+    l = bands.select("band_id", "band_key", F.col("_id").alias("_la"))
+    r = bands.select("band_id", "band_key", F.col("_id").alias("_lb"))
+    return (
+        l.join(r, ["band_id", "band_key"])
+        .filter(F.col("_la") < F.col("_lb"))
+        .select(*canonical_pair("_la", "_lb"))
+        .groupBy("id_lo", "id_hi")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "id",
+    shingle_set_col: str = "shingle_hashes",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over shingle-hash sets for candidate pairs.
+
+    docs must carry an array<long> of *distinct* shingle hashes. JVM-side:
+    array_intersect / array_union, no UDF.
+    """
+    a = docs.select(
+        F.col(id_col).alias("id_lo"), F.col(shingle_set_col).alias("_sa")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_hi"), F.col(shingle_set_col).alias("_sb")
+    )
+    return (
+        candidates.join(a, "id_lo")
+        .join(b, "id_hi")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_lo", "id_hi", "jaccard")
+    )

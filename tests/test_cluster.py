@@ -1,0 +1,92 @@
+"""Connected-components (union-find) tests.
+
+Replaces the reference's Neo4j cluster semantics (components of the Phash4
+edge graph, /root/reference/graphApi.py:15-27). Includes the path-graph
+round-count bound from SURVEY.md's risk register.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from intraarchivededuplicator_spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+
+
+def cc_dict(edges_df):
+    return {r["id"]: r["cluster_id"] for r in connected_components(edges_df).collect()}
+
+
+def test_triangle(spark):
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_lo long, id_hi long")
+    assert cc_dict(e) == {1: 1, 2: 1, 3: 1}
+
+
+def test_two_components(spark):
+    e = spark.createDataFrame([(1, 2), (10, 11), (11, 12)], "id_lo long, id_hi long")
+    assert cc_dict(e) == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_path_graph_long_chain(spark):
+    """200-node path: naive min-propagation needs ~200 rounds; the alternating
+    star algorithm must converge well inside max_iterations=50."""
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_lo long, id_hi long"
+    )
+    got = cc_dict(e)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_hot_cluster(spark):
+    e = spark.createDataFrame([(0, i) for i in range(1, 500)], "id_lo long, id_hi long")
+    got = cc_dict(e)
+    assert set(got.values()) == {0}
+    assert len(got) == 500
+
+
+def test_random_graph_vs_networkx_style_oracle(spark):
+    """Random sparse graph vs a driver-side union-find oracle."""
+    rng = np.random.RandomState(99)
+    n, m = 400, 300
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b]
+    e = spark.createDataFrame(edges, "id_lo long, id_hi long")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    rep = {}
+    for v in range(n):
+        r = find(v)
+        rep.setdefault(r, v if v < rep.get(r, n) else rep[r])
+    expect = {}
+    touched = {v for ab in edges for v in ab}
+    for v in touched:
+        r = find(v)
+        expect[v] = min(u for u in touched if find(u) == r)
+    assert cc_dict(e) == expect
+
+
+def test_assign_clusters_singletons(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame([(1, 3), (3, 5)], "id_lo long, id_hi long")
+    got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, e).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+def test_empty_edges(spark):
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([], "id_lo long, id_hi long")
+    got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, e).collect()}
+    assert got == {1: 1, 2: 2}

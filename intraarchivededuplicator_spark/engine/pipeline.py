@@ -1,0 +1,153 @@
+"""The flagship dataflow: pages -> signatures -> pairs -> clusters -> report.
+
+Set-oriented re-realization of the reference's three entry points
+(SURVEY.md §3): ingest (dir-scan), per-container dedup (processDownload), and
+all-pairs edge extraction (loader.py) collapse into one declarative plan:
+
+    read pages
+      -> extract text (Arrow UDF)                      [scanner/hashFile.py]
+      -> md5 + SimHash64 + MinHash signatures          [H1/H2/H3 analogs]
+      -> pairs: exact ∪ banded-Hamming ∪ MinHash-LSH ∪ containment
+                                                       [J1/J7/J12]
+      -> union-find clusters                           [graphApi components]
+      -> per-site match aggregation / best match       [A6-A8, R1]
+
+Every stage is checkpointable with per-partition lineage (engine/checkpoint).
+"""
+
+from __future__ import annotations
+
+import hashlib as _hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..functions.columns import tokens
+from ..functions.textprep import with_extracted_text
+from ..functions.udfs import make_minhash_udf, simhash64_udf
+from ..operators.banded_join import banded_self_join
+from ..operators.cluster import assign_clusters
+from ..operators.containment import containment_pairs
+from ..operators.exact import exact_pairs, with_text_hash
+from ..operators.lsh import minhash_candidate_pairs
+from .checkpoint import NullCheckpointer, StageCheckpointer
+
+
+def config_fingerprint(cfg: DedupConfig) -> str:
+    return _hashlib.md5(repr(cfg).encode()).hexdigest()
+
+
+def compute_docs(
+    pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, extract: bool = True
+) -> DataFrame:
+    """pages(url, warc_ts, html, [text], lang) -> docs signature table.
+
+    id = xxhash64(url): stable across runs/partitionings (the dbId analog,
+    SURVEY.md §1.1). site = url host (the fsPath/container analog).
+    """
+    df = with_extracted_text(pages) if extract else pages
+    df = with_text_hash(df)
+    minhash_udf = make_minhash_udf(cfg.k_shingle, cfg.minhash_params)
+    return df.select(
+        F.xxhash64("url").alias("id"),
+        F.col("url"),
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("site"),
+        F.col("text"),
+        F.col("text_hash"),
+        simhash64_udf(F.col("text")).alias("simhash"),
+        minhash_udf(F.col("text")).alias("minhash"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        *([F.col("lang")] if "lang" in df.columns else []),
+        *([F.col("warc_ts")] if "warc_ts" in df.columns else []),
+    )
+
+
+def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Union of all four pair families, canonical + deduplicated:
+    (id_lo, id_hi, distance, kind). kind precedence exact > simhash >
+    containment > minhash when the same pair is found by several legs."""
+    # junk gate: empty/whitespace-only docs never enter the pair legs — the
+    # P6 junk-file filter analog (/root/reference/deduplicator/ProcessArchive.py:228-262);
+    # without it every blank page md5-matches every other blank page
+    matchable = docs.filter(F.col("n_tokens") > 0)
+    exact = exact_pairs(matchable, "id", "text_hash").withColumn(
+        "kind", F.lit("exact")
+    )
+    sim = banded_self_join(
+        docs,
+        "id",
+        "simhash",
+        cfg.simhash_radius,
+        n_bands=cfg.simhash_bands,
+        blacklist=cfg.blacklist,
+        hot_threshold=cfg.hot_band_threshold,
+        salt=cfg.hot_band_salt,
+    ).withColumn("kind", F.lit("simhash"))
+    mh = (
+        minhash_candidate_pairs(
+            docs,
+            "id",
+            "minhash",
+            n_bands=cfg.minhash_bands,
+            rows_per_band=cfg.minhash_k // cfg.minhash_bands,
+            hot_threshold=cfg.hot_band_threshold,
+        )
+        .select("id_lo", "id_hi", F.lit(None).cast("int").alias("distance"))
+        .withColumn("kind", F.lit("minhash"))
+    )
+    cont = (
+        containment_pairs(docs, "id", "text", cfg.k_shingle)
+        .select(
+            F.least("inner_id", "outer_id").alias("id_lo"),
+            F.greatest("inner_id", "outer_id").alias("id_hi"),
+            F.lit(None).cast("int").alias("distance"),
+        )
+        .withColumn("kind", F.lit("containment"))
+    )
+    prec = F.when(F.col("kind") == "exact", 0).when(
+        F.col("kind") == "simhash", 1
+    ).when(F.col("kind") == "containment", 2).otherwise(3)
+    all_pairs = exact.unionByName(sim).unionByName(mh).unionByName(cont)
+    return (
+        all_pairs.withColumn("_prec", prec)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id_lo", "id_hi").orderBy("_prec")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_prec", "_rn")
+    )
+
+
+def dedup_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    checkpointer: StageCheckpointer | None = None,
+    extract: bool = True,
+    cluster_kinds: tuple[str, ...] = ("exact", "simhash", "containment"),
+) -> dict[str, DataFrame]:
+    """Returns {'docs', 'pairs', 'clusters'}.
+
+    Clustering uses the *verified* pair families by default; raw MinHash LSH
+    candidates are emitted in `pairs` but do not merge clusters unless
+    explicitly requested (they are probabilistic candidates, not matches —
+    mirrors the reference clustering only confirmed Phash4 edges,
+    /root/reference/graphApi.py:38-57).
+    """
+    ck = checkpointer or NullCheckpointer()
+    ck.config_fingerprint = config_fingerprint(cfg)
+
+    docs = ck.run(spark, "docs", lambda: compute_docs(pages, cfg, extract=extract))
+    pairs = ck.run(spark, "pairs", lambda: build_pairs(docs, cfg))
+    clusters = ck.run(
+        spark,
+        "clusters",
+        lambda: assign_clusters(
+            docs, pairs.filter(F.col("kind").isin(list(cluster_kinds)))
+        ).join(docs.select("id", "url"), "id"),
+    )
+    return {"docs": docs, "pairs": pairs, "clusters": clusters}

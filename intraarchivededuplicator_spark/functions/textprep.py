@@ -1,0 +1,54 @@
+"""HTML -> text extraction as a vectorized pandas UDF (the S2/H4 analog).
+
+The reference iterates archive members and hashes their bytes in worker
+processes (/root/reference/scanner/fileHasher.py:189-239,
+/root/reference/scanner/hashFile.py:135-164); the web graft's equivalent
+per-row step is boilerplate removal from raw HTML. Extraction must be
+*byte-identical per url* across runs and partitions (BASELINE input_hint) —
+pure function of the html bytes, no locale/hash-seed dependence.
+
+Strategy (main-content heuristic, trafilatura-style):
+ 1. if a <main>...</main> element exists, take its inner HTML;
+ 2. otherwise strip <script>/<style> blocks and all tags from <body>;
+then unescape HTML entities and return. Step 1 inverts fixtures.render_html
+exactly (the round-trip invariant tested in test_textprep.py).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+_MAIN_RE = re.compile(rb"<main(?:\s[^>]*)?>(.*?)</main>", re.DOTALL)
+_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str:
+    """Pure extraction function; the UDF maps this over Arrow batches."""
+    if html_bytes is None:
+        return ""
+    m = _MAIN_RE.search(html_bytes)
+    if m is not None:
+        return _html.unescape(m.group(1).decode("utf-8", errors="replace"))
+    raw = html_bytes.decode("utf-8", errors="replace")
+    raw = _SCRIPT_RE.sub(" ", raw)
+    raw = _TAG_RE.sub(" ", raw)
+    return _WS_RE.sub(" ", _html.unescape(raw)).strip()
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+def with_extracted_text(
+    pages: DataFrame, html_col: str = "html", out: str = "text"
+) -> DataFrame:
+    """Adds/overwrites the extracted-text column from raw HTML bytes."""
+    return pages.withColumn(out, extract_text_udf(F.col(html_col)))

@@ -29,6 +29,16 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(simhash64_batch(texts.tolist()))
 
 
+def make_simhash_udf(shingle_k: int):
+    """simhash64 pandas UDF with a non-default shingle width."""
+
+    @F.pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash64_batch(texts.tolist(), shingle_k))
+
+    return _udf
+
+
 @F.pandas_udf(StringType())
 def md5_hex_udf(texts: pd.Series) -> pd.Series:
     """Python-side md5 (matches F.md5(encode(.,'UTF-8')); kept for parity tests)."""

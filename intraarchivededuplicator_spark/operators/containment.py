@@ -1,0 +1,130 @@
+"""Exact-containment pass: which documents appear verbatim inside others.
+
+Web-graft analog of the reference's archive-containment query — "is container
+A's item set a subset of container B's?"
+(/root/reference/deduplicator/ProcessArchive.py:351-394, early-exit on any
+unique item at :388-390). Here: doc A's *text* appears as an exact substring
+of doc B's text.
+
+Distributed plan (no O(n^2)):
+ 1. anchor generation — each inner-candidate doc contributes its *minimum*
+    k-shingle hash (a winnowing anchor). If A ⊂ B at token boundaries, every
+    A-shingle is a B-shingle, so A's min-shingle is in B's shingle set.
+ 2. candidate join — explode outer docs' distinct shingle hashes, semi-join
+    against the broadcast anchor set, then equi-join anchors == shingles.
+    Shuffle volume: one row per (outer doc, anchored shingle), not n^2.
+ 3. exact verify — applyInPandas grouped by outer doc: build one suffix
+    array over the outer text (functions/suffix.py) and binary-search each
+    inner candidate. Amortizes many probes per outer doc.
+
+Emitted pairs are (inner_id, outer_id) with inner strictly shorter; equal
+texts are the exact-dup operator's job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.columns import token_shingles, tokens
+from ..functions.hashing import MINHASH_PRIME  # noqa: F401  (doc cross-ref)
+from ..functions.udfs import make_min_shingle_udf
+
+
+def _shingle_hashes32(text_col: str, k: int) -> F.Column:
+    """Distinct shingle_hash32 values, JVM-side: md5 -> first 8 hex -> conv."""
+    sh = token_shingles(tokens(F.col(text_col)), k)
+    return F.array_distinct(
+        F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k_shingle: int = 5,
+    use_suffix_array: bool = True,
+) -> DataFrame:
+    """(inner_id, outer_id) where inner text ⊂ outer text, len(inner) < len(outer)."""
+    min_shingle = make_min_shingle_udf(k_shingle)
+    # docs with < k_shingle tokens have no anchor and are skipped: containment
+    # is only defined for inner docs of at least one shingle (degenerate/empty
+    # docs are the blacklist's business, not this operator's)
+    inner = docs.select(
+        F.col(id_col).alias("inner_id"),
+        F.col(text_col).alias("inner_text"),
+        F.length(text_col).alias("inner_len"),
+        min_shingle(F.col(text_col)).alias("anchor"),
+    ).filter(F.col("anchor").isNotNull())
+
+    outer = docs.select(
+        F.col(id_col).alias("outer_id"),
+        F.col(text_col).alias("outer_text"),
+        F.length(text_col).alias("outer_len"),
+        F.explode(_shingle_hashes32(text_col, k_shingle)).alias("anchor"),
+    )
+    # prune outer shingle rows to ones that are somebody's anchor
+    anchors = inner.select("anchor").distinct()
+    outer = outer.join(F.broadcast(anchors), "anchor", "left_semi")
+
+    cand = (
+        outer.join(inner, "anchor")
+        .filter(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.col("inner_len") < F.col("outer_len"))
+        )
+        .select("outer_id", "outer_text", "inner_id", "inner_text")
+        .dropDuplicates(["outer_id", "inner_id"])
+    )
+
+    if not use_suffix_array:
+        return cand.filter(
+            F.contains(F.col("outer_text"), F.col("inner_text"))
+        ).select("inner_id", "outer_id")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.suffix import sa_contains, suffix_array
+
+        out_rows = []
+        for outer_text, grp in pdf.groupby("outer_text", sort=False):
+            blob = outer_text.encode("utf-8")
+            if len(grp) == 1:
+                row = grp.iloc[0]
+                if row["inner_text"].encode("utf-8") in blob:
+                    out_rows.append((int(row["inner_id"]), int(row["outer_id"])))
+                continue
+            sa = suffix_array(blob)
+            for _, row in grp.iterrows():
+                if sa_contains(blob, sa, row["inner_text"]):
+                    out_rows.append((int(row["inner_id"]), int(row["outer_id"])))
+        return pd.DataFrame(out_rows, columns=["inner_id", "outer_id"])
+
+    return cand.groupBy("outer_id").applyInPandas(
+        verify, schema="inner_id long, outer_id long"
+    )
+
+
+def containment_pairs_bruteforce(
+    docs: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """O(n^2) oracle for differential tests."""
+    k_shingle = 5
+    a = docs.select(
+        F.col(id_col).alias("inner_id"), F.col(text_col).alias("ta")
+    ).filter(F.size(tokens(F.col(text_col))) >= k_shingle)
+    b = docs.select(F.col(id_col).alias("outer_id"), F.col(text_col).alias("tb"))
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.length("ta") < F.length("tb"))
+            & F.contains(F.col("tb"), F.col("ta"))
+        )
+        .select("inner_id", "outer_id")
+    )

@@ -43,12 +43,20 @@ def cte_tokens(table: str = "documents", id_col: str = "doc_id", text_col: str =
     )
 
 
-def cte_simhash(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
-    """CTEs ending in `sh(doc_id, simhash)` covering every row (empty -> 0)."""
+def cte_simhash(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> str:
+    """CTEs ending in `sh(doc_id, simhash)` covering every row (degenerate -> 0).
+
+    Features are shingle_k-token shingles (see hashing.simhash64's rationale).
+    """
     return f"""
-{cte_tokens(table, id_col, text_col)},
+{cte_shingles(shingle_k, table, id_col, text_col)},
 tok_counts AS (
-    SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM toks GROUP BY doc_id, tok
+    SELECT doc_id, s AS tok, count(*)::BIGINT AS cnt FROM shing GROUP BY doc_id, s
 ),
 tok_h AS (
     SELECT doc_id, cnt, {sql_token_hash64('tok')} AS h FROM tok_counts

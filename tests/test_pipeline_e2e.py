@@ -1,0 +1,202 @@
+"""End-to-end pipeline on the synthetic corpus: the golden-state layer.
+
+Mirrors the reference's end-to-end archive tests
+(/root/reference/Tests/Test_DuplicateArchiveDetector.py:64-442): run the full
+pipeline, then assert cluster semantics + the BASELINE recall target
+(dup-pair recall >= 0.99 vs the brute-force oracle at identical config).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intraarchivededuplicator_spark.config import DedupConfig
+from intraarchivededuplicator_spark.engine.pipeline import (
+    build_pairs,
+    compute_docs,
+    dedup_pipeline,
+)
+from intraarchivededuplicator_spark.fixtures.synth import gen_pages
+from intraarchivededuplicator_spark.operators.banded_join import brute_force_pairs
+from intraarchivededuplicator_spark.operators.containment import (
+    containment_pairs,
+    containment_pairs_bruteforce,
+)
+
+CFG = DedupConfig(hot_band_threshold=100, hot_band_salt=4)
+N_ROWS = 800
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = gen_pages(N_ROWS, seed=42)
+    pages = spark.createDataFrame(c.pages)
+    truth = spark.createDataFrame(c.truth)
+    return pages, truth, c
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    pages, truth, _ = corpus
+    out = dedup_pipeline(spark, pages, CFG)
+    out["docs"] = out["docs"].cache()
+    out["pairs"] = out["pairs"].cache()
+    out["clusters"] = out["clusters"].cache()
+    return out
+
+
+def test_extraction_invariant(spark, corpus, result):
+    """Extracted text == ground-truth text for every url (byte-identical)."""
+    pages, _, c = corpus
+    got = {
+        r["url"]: r["text"] for r in result["docs"].select("url", "text").collect()
+    }
+    for url, text in zip(c.pages["url"], c.pages["text"]):
+        assert got[url] == text
+
+
+def test_recall_vs_bruteforce_oracle(spark, result):
+    """BASELINE target: dup-pair recall >= 0.99 vs the O(n^2) oracle at the
+    same signature config. The banded join is exact, so this must be 1.0."""
+    docs = result["docs"]
+    truth_pairs = brute_force_pairs(
+        docs.filter(~F.col("simhash").isin(list(CFG.blacklist))),
+        "id",
+        "simhash",
+        CFG.simhash_radius,
+    )
+    t = {(r["id_lo"], r["id_hi"]) for r in truth_pairs.collect()}
+    found = {
+        (r["id_lo"], r["id_hi"])
+        for r in result["pairs"].filter(F.col("kind").isin(["exact", "simhash"])).collect()
+    }
+    assert len(t) > 0
+    recall = len(t & found) / len(t)
+    assert recall >= 0.99, f"recall {recall}"
+    assert recall == 1.0  # banded join is exact by pigeonhole
+
+
+def test_exact_dups_clustered(spark, corpus, result):
+    _, truth, _ = corpus
+    joined = (
+        result["clusters"]
+        .join(truth, "url")
+        .select("url", "cluster_id", "dup_class", "base_url")
+        .cache()
+    )
+    cl = {r["url"]: r["cluster_id"] for r in joined.collect()}
+    ex = truth.filter(F.col("dup_class") == "exact_dup").collect()
+    assert len(ex) > 0
+    for r in ex:
+        assert cl[r["url"]] == cl[r["base_url"]], r["url"]
+
+
+def test_near_dups_clustered(spark, corpus, result):
+    """Near dups whose SimHash landed within the radius must share a cluster."""
+    _, truth, _ = corpus
+    docs = result["docs"]
+    cl = {r["url"]: r["cluster_id"] for r in result["clusters"].collect()}
+    sigs = {r["url"]: r["simhash"] for r in docs.select("url", "simhash").collect()}
+    from intraarchivededuplicator_spark.functions.hashing import hamming64
+
+    nd = truth.filter(F.col("dup_class") == "near_dup").collect()
+    assert len(nd) > 0
+    in_radius = 0
+    for r in nd:
+        if hamming64(sigs[r["url"]], sigs[r["base_url"]]) <= CFG.simhash_radius:
+            in_radius += 1
+            assert cl[r["url"]] == cl[r["base_url"]], r["url"]
+    assert in_radius > 0  # fixture produces in-radius near dups
+
+
+def test_containment_clustered(spark, corpus, result):
+    _, truth, _ = corpus
+    cl = {r["url"]: r["cluster_id"] for r in result["clusters"].collect()}
+    co = truth.filter(F.col("dup_class") == "containment").collect()
+    assert len(co) > 0
+    for r in co:
+        assert cl[r["url"]] == cl[r["base_url"]], r["url"]
+
+
+def test_degenerate_and_template_clones_not_merged(spark, corpus, result):
+    """degenerate docs (blacklisted sig) and template clones must NOT form
+    giant clusters (P9 semantics, ProcessArchive.py:21-27; template_clone
+    guards extraction correctness)."""
+    _, truth, _ = corpus
+    joined = result["clusters"].join(truth, "url")
+    deg = joined.filter(F.col("dup_class") == "degenerate")
+    # every degenerate doc is its own singleton cluster
+    n_deg = deg.count()
+    assert n_deg > 0
+    assert deg.select("cluster_id").distinct().count() == n_deg
+    tc = joined.filter(F.col("dup_class") == "template_clone")
+    n_tc = tc.count()
+    assert n_tc > 0
+    assert tc.select("cluster_id").distinct().count() == n_tc
+
+
+def test_hot_cluster_single_component(spark, corpus, result):
+    _, truth, _ = corpus
+    joined = result["clusters"].join(truth, "url")
+    hot = joined.filter(F.col("dup_class") == "hot_cluster")
+    assert hot.count() > 10
+    assert hot.select("cluster_id").distinct().count() == 1
+
+
+def test_cluster_assignments_match_ground_truth_components(spark, corpus, result):
+    """Partition equality on the confirmed relations: two docs share a
+    pipeline cluster iff they share a ground-truth component, restricted to
+    classes whose relations are deterministic (exact/containment/hot)."""
+    _, truth, _ = corpus
+    joined = (
+        result["clusters"]
+        .join(truth, "url")
+        .filter(F.col("dup_class").isin(["unique", "exact_dup", "containment", "hot_cluster"]))
+        .select("cluster_id", "cluster_gt")
+    ).collect()
+    # pipeline clusters must refine-or-equal gt: same gt -> same cluster
+    by_gt = {}
+    for r in joined:
+        by_gt.setdefault(r["cluster_gt"], set()).add(r["cluster_id"])
+    for gt, cls in by_gt.items():
+        assert len(cls) == 1, f"gt component {gt} split into {len(cls)} clusters"
+
+
+def test_containment_operator_differential(spark, corpus):
+    pages, _, _ = corpus
+    docs = compute_docs(pages, CFG).select("id", "text").cache()
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(docs, "id", "text", CFG.k_shingle).collect()
+    }
+    expect = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs_bruteforce(docs, "id", "text").collect()
+    }
+    assert len(expect) > 0
+    assert got == expect
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    """Stage outputs are reused on resume (S4 incremental-skip analog)."""
+    from intraarchivededuplicator_spark.engine.checkpoint import StageCheckpointer
+
+    pages, _, _ = corpus
+    small = pages.limit(100)
+    ck1 = StageCheckpointer(root=str(tmp_path))
+    out1 = dedup_pipeline(spark, small, CFG, checkpointer=ck1)
+    n1 = out1["clusters"].count()
+    assert all(not m["resumed"] for m in ck1.metrics)
+    assert all(m["output_rows"] > 0 for m in ck1.metrics)
+    assert all("partitions" in m for m in ck1.metrics)
+
+    ck2 = StageCheckpointer(root=str(tmp_path))
+    out2 = dedup_pipeline(spark, small, CFG, checkpointer=ck2)
+    assert all(m["resumed"] for m in ck2.metrics)
+    assert out2["clusters"].count() == n1
+
+    # config change invalidates the checkpoint
+    ck3 = StageCheckpointer(root=str(tmp_path))
+    out3 = dedup_pipeline(
+        spark, small, DedupConfig(simhash_radius=2), checkpointer=ck3
+    )
+    assert all(not m["resumed"] for m in ck3.metrics)

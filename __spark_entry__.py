@@ -1,38 +1,106 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship dedup pipeline on sf0.001 documents.
+queries()      -> operator surface from SURVEY.md §2, each over the shared
+                  testdata tables.
+oracle_sql()   -> DuckDB SQL recomputing the same result (incl. the full
+                  SimHash/MinHash signature pipeline in SQL) for the driver's
+                  differential gate.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline (signatures -> exact ∪ banded-Hamming
+    ∪ containment pairs -> union-find clusters) over sf0.001 documents."""
+    from intraarchivededuplicator_spark.config import DedupConfig
+    from intraarchivededuplicator_spark.engine.pipeline import dedup_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = dedup_pipeline(
+        spark, pages, DedupConfig(hot_band_threshold=1000), extract=False
+    )
+    return out["clusters"].select("id", "url", "cluster_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from intraarchivededuplicator_spark.plans import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact family (J1/J3)
+        "exact_dup_groups": q.q_exact_dup_groups,
+        "exact_hash_rows": q.q_exact_hash_rows,
+        # SimHash family (H2, J4-J7, A6-A8, R1)
+        "simhash_signatures": q.q_simhash_signatures,
+        "simhash_radius_pairs": q.q_simhash_radius_pairs,
+        "simhash_radius_search": q.q_simhash_radius_search,
+        "simhash_clusters": q.q_simhash_clusters,
+        "best_simhash_match": q.q_best_simhash_match,
+        "match_count_histogram": q.q_match_count_histogram,
+        # MinHash family (H3, LSH)
+        "minhash_signatures_long": q.q_minhash_signatures_long,
+        "minhash_band_pairs": q.q_minhash_band_pairs,
+        # set-similarity + containment (J12)
+        "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "containment_pairs": q.q_containment_pairs,
+        # text analysis
+        "doc_stats": q.q_doc_stats,
+        "token_stats_bpe": q.q_token_stats_bpe,
+        "lang_top_terms": q.q_lang_top_terms,
+        "langid_heuristic": q.q_langid_heuristic,
+        "doc_fingerprint": q.q_doc_fingerprint,
+        # similarity search over embeddings
+        "embedding_knn": q.q_embedding_knn,
+        "embedding_near_pairs": q.q_embedding_near_pairs,
+        # windows / relational coverage
+        "user_sessions": q.q_user_sessions,
+        "orders_by_priority_month": q.q_orders_by_priority_month,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from intraarchivededuplicator_spark.plans import oracle as o
+    from intraarchivededuplicator_spark.plans.queries import (
+        EMB_SCALE,
+        K_SHINGLE,
+        LANG_MARKERS,
+        ORACLE_MINHASH,
+        SEARCH_RADIUS,
+        SIMHASH_RADIUS,
+    )
+
+    return {
+        "exact_dup_groups": o.sql_exact_dup_groups(),
+        "exact_hash_rows": o.sql_exact_hash_rows(),
+        "simhash_signatures": o.sql_simhash_signatures(),
+        "simhash_radius_pairs": o.sql_simhash_radius_pairs(SIMHASH_RADIUS),
+        "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
+        "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
+        "best_simhash_match": o.sql_best_simhash_match(SEARCH_RADIUS),
+        "match_count_histogram": o.sql_match_count_histogram(SIMHASH_RADIUS),
+        "minhash_signatures_long": o.sql_minhash_long(ORACLE_MINHASH, K_SHINGLE),
+        "minhash_band_pairs": o.sql_minhash_band_pairs(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
+        ),
+        "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.5),
+        "containment_pairs": o.sql_containment_pairs(K_SHINGLE),
+        "doc_stats": o.sql_doc_stats(),
+        "token_stats_bpe": o.sql_token_stats_bpe(),
+        "lang_top_terms": o.sql_lang_top_terms(),
+        "langid_heuristic": o.sql_langid_heuristic(LANG_MARKERS),
+        "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),
+        "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
+        "embedding_near_pairs": o.sql_embedding_near_pairs(EMB_SCALE, 0.4),
+        "user_sessions": o.sql_user_sessions(1800),
+        "orders_by_priority_month": o.sql_orders_by_priority_month(),
+    }

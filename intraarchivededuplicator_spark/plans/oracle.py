@@ -171,3 +171,245 @@ SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id ORDER BY id_lo, id_hi"""
+
+
+# --- query-for-query oracles for plans/queries.py ---------------------------
+
+def sql_exact_dup_groups() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_docs
+FROM documents GROUP BY md5(text) HAVING count(*) >= 2"""
+
+
+def sql_exact_hash_rows() -> str:
+    return """
+SELECT doc_id, md5(text) AS text_hash FROM documents
+WHERE md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 50 = 0)"""
+
+
+def sql_simhash_radius_search(radius: int) -> str:
+    return f"""
+WITH {cte_simhash('documents')}
+SELECT q.doc_id AS q_id, c.doc_id AS match_id,
+       bit_count(xor(q.simhash, c.simhash))::INT AS distance
+FROM sh q JOIN sh c ON q.doc_id % 100 = 0 AND q.doc_id <> c.doc_id
+WHERE bit_count(xor(q.simhash, c.simhash)) <= {radius}"""
+
+
+def sql_best_simhash_match(radius: int, blacklist=(0,)) -> str:
+    bl = ", ".join(str(b) for b in blacklist)
+    return f"""
+WITH {cte_simhash('documents')},
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v,
+           bit_count(xor(a.simhash, b.simhash))::INT AS distance
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+sym AS (
+    SELECT u AS doc_id, v AS match_id, distance FROM pairs
+    UNION ALL SELECT v, u, distance FROM pairs
+),
+ranked AS (
+    SELECT doc_id, match_id, distance,
+           row_number() OVER (PARTITION BY doc_id ORDER BY distance ASC, match_id ASC) AS rn
+    FROM sym
+)
+SELECT doc_id, match_id AS best_match_id, distance FROM ranked WHERE rn = 1"""
+
+
+def sql_match_count_histogram(radius: int, blacklist=(0,)) -> str:
+    bl = ", ".join(str(b) for b in blacklist)
+    return f"""
+WITH {cte_simhash('documents')},
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_matches FROM (
+        SELECT u AS doc_id FROM pairs UNION ALL SELECT v FROM pairs
+    ) GROUP BY doc_id
+)
+SELECT n_matches, count(*) AS n_docs FROM per_doc GROUP BY n_matches"""
+
+
+def sql_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, substr(text, i, {n}) AS gram
+    FROM documents, unnest(generate_series(1, length(text) - {n - 1})) AS r(i)
+    WHERE length(text) >= {n}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*) AS n_shared
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_lo, id_hi, n_shared,
+       round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+FROM shared s JOIN sizes x ON s.id_lo = x.doc_id JOIN sizes y ON s.id_hi = y.doc_id
+WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {threshold}"""
+
+
+def sql_containment_pairs(k_shingle: int = 5) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt
+    FROM documents
+)
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+FROM tok a JOIN tok b
+  ON a.doc_id <> b.doc_id AND length(a.text) < length(b.text)
+ AND a.nt >= {k_shingle}
+ AND contains(b.text, a.text)"""
+
+
+def sql_doc_stats() -> str:
+    return """
+WITH t AS (
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM documents
+)
+SELECT doc_id, n_chars, len(tl)::BIGINT AS n_tokens,
+       len(list_distinct(tl))::BIGINT AS n_distinct_tokens,
+       round(len(list_distinct(tl)) / greatest(len(tl), 1), 6) AS distinct_ratio
+FROM t"""
+
+
+def sql_token_stats_bpe() -> str:
+    return """
+WITH t AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM documents
+),
+ex AS (SELECT doc_id, unnest(tl) AS tok FROM t),
+sub AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum((length(tok) + 3) // 4)::BIGINT AS n_subwords
+    FROM ex GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(sub.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sub.n_subwords, 0)::BIGINT AS n_subwords
+FROM t LEFT JOIN sub ON t.doc_id = sub.doc_id"""
+
+
+def sql_lang_top_terms() -> str:
+    return """
+WITH g AS (
+    SELECT DISTINCT lang, doc_id, t.tok AS token
+    FROM documents, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS t(tok)
+),
+freq AS (SELECT lang, token, count(*)::BIGINT AS doc_freq FROM g GROUP BY lang, token),
+ranked AS (
+    SELECT lang, token, doc_freq,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, token ASC) AS rank
+    FROM freq
+)
+SELECT lang, token, doc_freq, rank::INT AS rank FROM ranked WHERE rank <= 10"""
+
+
+def sql_langid_heuristic(markers: dict[str, list[str]]) -> str:
+    legs = []
+    for lang in sorted(markers):
+        toks = ", ".join("'" + t.replace("'", "''") + "'" for t in markers[lang])
+        legs.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(tl, x -> x IN ({toks})))::BIGINT AS score FROM t"
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM documents
+),
+scores AS ({union}),
+ranked AS (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM scores
+)
+SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_guess, score
+FROM ranked WHERE rn = 1"""
+
+
+def sql_doc_fingerprint(k_shingle: int = 5) -> str:
+    return f"""
+WITH {cte_shingles(k_shingle, 'documents')},
+h AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS hv FROM shing)
+SELECT doc_id, min(hv) AS min_shingle, count(*)::BIGINT AS n_distinct_shingles
+FROM h GROUP BY doc_id"""
+
+
+def _cte_emb(scale: int) -> str:
+    return f"""
+ev AS (
+    SELECT vec_id, i, round(embedding[i]::DOUBLE * {scale})::BIGINT AS v
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS r(i)
+),
+norms AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM ev GROUP BY vec_id)"""
+
+
+def sql_embedding_knn(scale: int, k: int = 3) -> str:
+    return f"""
+WITH {_cte_emb(scale)},
+dots AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, sum(a.v * b.v)::BIGINT AS dot
+    FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+    SELECT d.vec_id, d.neighbor_id,
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+    FROM dots d JOIN norms x ON d.vec_id = x.vec_id
+                JOIN norms y ON d.neighbor_id = y.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT vec_id, neighbor_id, rank::INT AS rank, cosine FROM ranked WHERE rank <= {k}"""
+
+
+def sql_embedding_near_pairs(scale: int, threshold: float) -> str:
+    return f"""
+WITH {_cte_emb(scale)},
+dots AS (
+    SELECT a.vec_id AS id_lo, b.vec_id AS id_hi, sum(a.v * b.v)::BIGINT AS dot
+    FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_lo, id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+FROM dots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
+WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
+
+
+def sql_user_sessions(gap_sec: int = 1800) -> str:
+    return f"""
+WITH w AS (
+    SELECT user_id, event_id, epoch(ts)::BIGINT AS es,
+           lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN prev IS NULL OR es - prev > {gap_sec} THEN 1 ELSE 0 END)::BIGINT
+           AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM w GROUP BY user_id"""
+
+
+def sql_orders_by_priority_month() -> str:
+    return """
+SELECT o_orderpriority,
+       (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers
+FROM orders GROUP BY o_orderpriority, ym"""

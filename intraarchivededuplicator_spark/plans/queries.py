@@ -1,0 +1,395 @@
+"""Driver-facing query implementations over the testdata tables.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the DuckDB oracle in plans/oracle.py exactly (the driver
+hash-compares values after sorting columns by name). Everything here is the
+engine's public operator surface exercised on the shared tables — the
+`documents` table plays the role of the extracted-text corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..config import DedupConfig
+from ..functions.columns import char_ngrams, hamming, tokens
+from ..functions.hashing import MinHashParams
+from ..functions.udfs import make_min_shingle_udf, make_minhash_udf, simhash64_udf
+from ..operators.banded_join import banded_radius_search, banded_self_join
+from ..operators.cluster import assign_clusters
+from ..operators.containment import containment_pairs
+from ..operators.exact import duplicate_hash_groups, with_text_hash
+from ..operators.lsh import minhash_candidate_pairs
+
+# shared config for the oracle-checked queries (FIXTURES.md golden config,
+# scaled to the 500-row sf0.01 table: k=16 MinHash for SQL-oracle tractability)
+ORACLE_MINHASH = MinHashParams.make(k=16, seed=42)
+K_SHINGLE = 5
+SIMHASH_RADIUS = 4
+SIMHASH_BANDS = 8
+SEARCH_RADIUS = 6
+
+EMB_SCALE = 1_000_000
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "es": ["el", "la", "que", "de", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", simhash64_udf(F.col("text")).alias("simhash")
+    )
+
+
+# --- exact family (J1/J3) ---------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = with_text_hash(load(spark, sf_dir, "documents"))
+    return duplicate_hash_groups(d, "text_hash").select("text_hash", "n_docs")
+
+
+def q_exact_hash_rows(spark, sf_dir):
+    """J1 batch lookup: all rows whose hash matches any probe (doc_id%50==0)."""
+    d = with_text_hash(load(spark, sf_dir, "documents"))
+    probes = d.filter(F.col("doc_id") % 50 == 0).select("text_hash").distinct()
+    return d.join(F.broadcast(probes), "text_hash", "left_semi").select(
+        "doc_id", "text_hash"
+    )
+
+
+# --- SimHash family (H2/J4/J5/J7) -------------------------------------------
+
+def q_simhash_signatures(spark, sf_dir):
+    return docs_with_sig(spark, sf_dir).select("doc_id", "simhash")
+
+
+def q_simhash_radius_pairs(spark, sf_dir):
+    d = docs_with_sig(spark, sf_dir)
+    return banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+    ).select("id_lo", "id_hi", F.col("distance").cast("int").alias("distance"))
+
+
+def q_simhash_radius_search(spark, sf_dir):
+    """J5/J6 batch probe at r=6 excluding self-matches (SO4)."""
+    d = docs_with_sig(spark, sf_dir)
+    probes = d.filter(F.col("doc_id") % 100 == 0).select("doc_id", "simhash")
+    out = banded_radius_search(
+        d,
+        probes,
+        SEARCH_RADIUS,
+        corpus_id="doc_id",
+        corpus_sig="simhash",
+        query_id="doc_id",
+        query_sig="simhash",
+        n_bands=SIMHASH_BANDS,
+    )
+    return out.filter(F.col("q_id") != F.col("match_id")).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
+def q_simhash_clusters(spark, sf_dir):
+    d = docs_with_sig(spark, sf_dir)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+    )
+    return (
+        assign_clusters(d.select(F.col("doc_id").alias("id")), pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+
+
+def q_best_simhash_match(spark, sf_dir):
+    """R1 best-match window: nearest neighbor per doc at r<=6; ties -> min id
+    (/root/reference/deduplicator/ProcessArchive.py:264-300)."""
+    d = docs_with_sig(spark, sf_dir)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SEARCH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+    )
+    sym = pairs.select(
+        F.col("id_lo").alias("doc_id"), F.col("id_hi").alias("match_id"), "distance"
+    ).unionByName(
+        pairs.select(
+            F.col("id_hi").alias("doc_id"), F.col("id_lo").alias("match_id"), "distance"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("distance"), F.asc("match_id"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("match_id").alias("best_match_id"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+def q_match_count_histogram(spark, sf_dir):
+    """A7 histogram inversion over radius-pair match counts."""
+    d = docs_with_sig(spark, sf_dir)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+    )
+    sym = pairs.select(F.col("id_lo").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_hi").alias("doc_id"))
+    )
+    per_doc = sym.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    return per_doc.groupBy("n_matches").agg(F.count("*").alias("n_docs"))
+
+
+# --- MinHash family (H3/LSH) -------------------------------------------------
+
+def q_minhash_signatures_long(spark, sf_dir):
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", mh(F.col("text")).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    return d.select(
+        "doc_id", F.posexplode("sig").alias("i", "v")
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "v")
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", mh(F.col("text")).alias("minhash")
+    )
+    return minhash_candidate_pairs(
+        d, "doc_id", "minhash", n_bands=4, rows_per_band=4
+    ).select("id_lo", "id_hi", "n_shared_bands")
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Character-trigram Jaccard near-dup pairs (threshold 0.5), computed by
+    gram explosion + shared-count join (scales; no cross join)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
+    )
+    sizes = d.select("doc_id", F.size("grams").alias("n")).filter(F.col("n") > 0)
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    l = g.select(F.col("doc_id").alias("id_lo"), "gram")
+    r = g.select(F.col("doc_id").alias("id_hi"), "gram")
+    shared = (
+        l.join(r, "gram")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .groupBy("id_lo", "id_hi")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_lo").withColumnRenamed("n", "n_a"), "id_lo")
+        .join(sizes.withColumnRenamed("doc_id", "id_hi").withColumnRenamed("n", "n_b"), "id_hi")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_lo", "id_hi", "n_shared", "jaccard")
+    )
+
+
+# --- containment (J12) -------------------------------------------------------
+
+def q_containment_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return containment_pairs(d, "id", "text", K_SHINGLE).select(
+        "inner_id", "outer_id"
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def q_token_stats_bpe(spark, sf_dir):
+    """Token counting incl. a BPE-ish subword estimate: ceil(len/4) per token."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_subwords"),
+    )
+
+
+def q_lang_top_terms(spark, sf_dir):
+    """Top-10 tokens per lang by document frequency; ties -> token asc."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select("lang", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    freq = g.groupBy("lang", "token").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "doc_freq", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_langid_heuristic(spark, sf_dir):
+    """Marker-token language guess; all-zero -> 'und'; ties -> lang asc."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scores = [
+        F.size(F.filter(t, lambda x: x.isin(LANG_MARKERS[lang]))).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = d.select("doc_id", *scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"s_{lang}")).alias("neg"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return scored.select(
+        "doc_id",
+        F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"]).alias(
+            "lang_guess"
+        ),
+        (-best["neg"]).cast("long").alias("score"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min shingle hash + distinct-shingle count."""
+    from ..operators.containment import _shingle_hashes32
+
+    d = load(spark, sf_dir, "documents")
+    min_sh = make_min_shingle_udf(K_SHINGLE)
+    sh = _shingle_hashes32("text", K_SHINGLE)
+    return (
+        d.select(
+            "doc_id",
+            min_sh(F.col("text")).alias("min_shingle"),
+            F.size(sh).cast("long").alias("n_distinct_shingles"),
+        )
+        .filter(F.col("min_shingle").isNotNull())
+    )
+
+
+# --- embeddings (similarity search) -------------------------------------------
+
+def _scaled(col):
+    # cast float->double BEFORE scaling so both engines round identical doubles
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(EMB_SCALE))).cast("long")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force exact cosine top-3 per vector (integer-scaled for
+    cross-engine determinism); rank ties -> neighbor id asc."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _scaled(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
+    joined = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    cos = (
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+    )
+    scored = joined.select(
+        "vec_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4; the testdata
+    embeddings top out near 0.51)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _scaled(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_lo"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_hi"), F.col("v").alias("vb"))
+    joined = a.join(b, F.col("id_lo") < F.col("id_hi"))
+    cos = (
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+    )
+    return joined.select(
+        "id_lo", "id_hi", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.4)
+
+
+# --- events (sessionization / windows) -----------------------------------------
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user — integer-safe windows."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        # NTZ parquet timestamps -> epoch seconds; session tz is pinned UTC
+        # (session.py) so this matches DuckDB's epoch(ts)
+        "es",
+        F.col("ts").cast("timestamp").cast("long"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(F.col("es") - F.lag("es").over(w) > 1800, 1)
+        .otherwise(F.when(F.lag("es").over(w).isNull(), 1).otherwise(0)),
+    )
+    return with_gap.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_orders_by_priority_month(spark, sf_dir):
+    """Relational coverage: join + group with integer outputs only."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q.q_doc_fingerprint,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
+        "embedding_knn_ann": q.q_embedding_knn_ann,  # scale path, no SQL oracle
         "embedding_near_pairs": q.q_embedding_near_pairs,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
@@ -92,7 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": o.sql_minhash_band_pairs(
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
-        "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.5),
+        "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),
         "containment_pairs": o.sql_containment_pairs(K_SHINGLE),
         "doc_stats": o.sql_doc_stats(),
         "token_stats_bpe": o.sql_token_stats_bpe(),

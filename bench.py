@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., "rows": {...}}
+
+Each query is forced with a full materialization (count over the final plan),
+so the timing covers scan + UDFs + shuffles + joins end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # flagship dedup path (the core of the graft)
+    "simhash_signatures",
+    "simhash_radius_pairs",
+    "simhash_clusters",
+    "minhash_band_pairs",
+    "exact_dup_groups",
+    "containment_pairs",
+    # analytics / search surface
+    "best_simhash_match",
+    "ngram_jaccard_pairs",
+    "embedding_knn_ann",
+    "doc_stats",
+    "langid_heuristic",
+    "user_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as e
+    from intraarchivededuplicator_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"iad-bench-sf{sf}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    qs = e.queries()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            rows[name] = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"bench {name}: {timings[name]}s {rows[name]} rows", file=sys.stderr)
+        except Exception as ex:  # record, don't abort the whole bench
+            timings[name] = -1.0
+            rows[name] = -1
+            print(f"BENCH ERROR {name}: {ex}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # docs/sec over the flagship signature+pair+cluster path
+    dedup_wall = sum(
+        timings.get(k, 0)
+        for k in ("simhash_signatures", "simhash_radius_pairs", "simhash_clusters")
+        if timings.get(k, -1) >= 0
+    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "docs": n_docs,
+        "docs_per_sec_dedup": round(n_docs / dedup_wall, 2) if dedup_wall > 0 else None,
+        "rows": rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

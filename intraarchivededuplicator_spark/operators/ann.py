@@ -1,0 +1,125 @@
+"""Approximate nearest neighbor over embedding columns — the scale path.
+
+Brute-force cosine top-k (plans/queries.q_embedding_knn) is the exactness
+baseline but is O(n^2) — fine at sf0.1, impossible at 10^12 rows. The scale
+path reuses the engine's core trick: random-hyperplane LSH packs each vector
+into a 64-bit signature whose Hamming distance estimates angular distance
+(Charikar's SimHash for vectors), then the SAME banded Hamming self-join that
+powers text near-dup generates candidates, and exact cosine re-ranks them.
+One signature kernel, two modalities (text SimHash / vector hyperplane LSH) —
+the index is the shuffle layout, no driver-side state.
+
+Candidate recall is probabilistic (not pigeonhole-exact like text SimHash at
+fixed radius): P[same band] = (1 - theta/pi)^bits_per_band per band. Tests
+measure recall >= 0.9 vs brute force on clustered synthetic vectors; the
+radius/band knobs trade recall for candidate volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from .banded_join import banded_self_join
+
+
+def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
+    """vector -> signed int64 hyperplane signature (bit i = sign(v . h_i)).
+
+    Planes are derived from a seeded PRNG so every executor materializes the
+    identical matrix — no broadcast needed, deterministic across runs.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def hyperplane_sig(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int64)
+        for i, v in enumerate(vecs):
+            if v is None or len(v) != dim:
+                out[i] = 0
+            else:
+                bits = (planes @ np.asarray(v, dtype=np.float64)) >= 0
+                out[i] = np.int64(
+                    np.uint64((bits.astype(np.uint64) * weights).sum())
+                )
+        return pd.Series(out)
+
+    return hyperplane_sig
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def ann_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int | None = None,
+    hamming_radius: int = 24,
+    n_bands: int = 8,
+    seed: int = 42,
+    hot_threshold: int | None = 10_000,
+) -> DataFrame:
+    """(id, neighbor_id, rank, cosine): approximate top-k by cosine.
+
+    sig -> banded Hamming self-join (candidates) -> exact cosine -> window
+    top-k. Candidate pairs come back canonicalized (id_lo < id_hi); both
+    directions are re-expanded before ranking so every id gets a list.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sig_udf = make_hyperplane_udf(dim, seed=seed)
+    sigged = emb.select(
+        F.col(id_col).alias("_aid"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
+    )
+    cand = banded_self_join(
+        sigged,
+        "_aid",
+        "_sig",
+        radius=hamming_radius,
+        n_bands=n_bands,
+        hot_threshold=hot_threshold,
+        require_full_recall=False,
+    )
+    both = cand.select(
+        F.col("id_lo").alias("qid"), F.col("id_hi").alias("nid")
+    ).unionByName(
+        cand.select(F.col("id_hi").alias("qid"), F.col("id_lo").alias("nid"))
+    )
+    q = sigged.select(F.col("_aid").alias("qid"), F.col("_vec").alias("qv"))
+    n = sigged.select(F.col("_aid").alias("nid"), F.col("_vec").alias("nv"))
+    scored = (
+        both.join(q, "qid")
+        .join(n, "nid")
+        .select(
+            "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+        )
+    )

@@ -76,14 +76,18 @@ def banded_self_join(
     blacklist: tuple[int, ...] = (),
     hot_threshold: int | None = None,
     salt: int = 16,
+    require_full_recall: bool = True,
 ) -> DataFrame:
     """All-pairs (id_lo < id_hi, distance <= radius) — the J7 edge extraction
     (/root/reference/loader.py:91-128) as one set-oriented job.
 
     Exact (recall 1.0) for radius < n_bands. Returns (id_lo, id_hi, distance).
+    require_full_recall=False permits radius >= n_bands for *probabilistic*
+    candidate generation (hyperplane-LSH ANN, operators/ann.py), where misses
+    are by design and measured, not a bug.
     """
     n_bands = n_bands or bands_for_radius(radius)
-    if n_bands <= radius:
+    if require_full_recall and n_bands <= radius:
         raise ValueError(f"need n_bands > radius for full recall ({n_bands} <= {radius})")
     src = df.filter(F.col(sig_col).isNotNull())
     if blacklist:

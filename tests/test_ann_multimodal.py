@@ -1,0 +1,138 @@
+"""ANN scale path (hyperplane LSH) + multimodal plumbing tests.
+
+ANN mirrors the reference's differential pattern (index result vs exact
+result, /root/reference/Tests/Test_db_BKTree_Compare.py:30-70): recall of the
+LSH-bucketed top-k is measured against brute-force cosine top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from intraarchivededuplicator_spark.functions.multimodal import (
+    DECODED_SCHEMA,
+    FEATURE_DIM,
+    decode_media,
+    frame_sample,
+    media_near_dup_pairs,
+)
+from intraarchivededuplicator_spark.operators.ann import (
+    ann_topk,
+    cosine,
+    make_hyperplane_udf,
+)
+
+DIM = 16
+
+
+def _clustered_vectors(n_clusters=12, per_cluster=8, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, DIM))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.05 * rng.standard_normal(DIM)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+class TestHyperplaneSignature:
+    def test_deterministic_across_invocations(self, spark):
+        df = spark.createDataFrame(_clustered_vectors())
+        udf = make_hyperplane_udf(DIM, seed=42)
+        a = {r["vec_id"]: r["s"] for r in df.select("vec_id", udf(F.col("embedding").cast("array<double>")).alias("s")).collect()}
+        udf2 = make_hyperplane_udf(DIM, seed=42)
+        b = {r["vec_id"]: r["s"] for r in df.select("vec_id", udf2(F.col("embedding").cast("array<double>")).alias("s")).collect()}
+        assert a == b
+
+    def test_close_vectors_get_close_signatures(self, spark):
+        df = spark.createDataFrame(_clustered_vectors())
+        udf = make_hyperplane_udf(DIM)
+        sigs = df.select(
+            "vec_id", udf(F.col("embedding").cast("array<double>")).alias("s")
+        ).collect()
+        by_id = {r["vec_id"]: r["s"] for r in sigs}
+        # same-cluster ids (0..7) should be much closer in Hamming space than
+        # cross-cluster ids
+        same = bin((by_id[0] ^ by_id[1]) & (2**64 - 1)).count("1")
+        cross = bin((by_id[0] ^ by_id[95]) & (2**64 - 1)).count("1")
+        assert same < 12 and cross > same
+
+
+class TestAnnTopK:
+    def test_recall_vs_brute_force(self, spark):
+        rows = _clustered_vectors()
+        df = spark.createDataFrame(rows)
+        approx = ann_topk(df, k=3, dim=DIM, hamming_radius=20, n_bands=8)
+        got = {
+            (r["vec_id"], r["neighbor_id"]) for r in approx.collect()
+        }
+        # brute force oracle
+        a = df.select(F.col("vec_id").alias("q"), F.col("embedding").cast("array<double>").alias("qv"))
+        b = df.select(F.col("vec_id").alias("n"), F.col("embedding").cast("array<double>").alias("nv"))
+        from pyspark.sql.window import Window
+
+        scored = (
+            a.join(b, F.col("q") != F.col("n"))
+            .select("q", "n", cosine(F.col("qv"), F.col("nv")).alias("c"))
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))),
+            )
+            .filter(F.col("rank") <= 3)
+        )
+        want = {(r["q"], r["n"]) for r in scored.collect()}
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+    def test_rank_is_dense_per_query(self, spark):
+        df = spark.createDataFrame(_clustered_vectors())
+        out = ann_topk(df, k=3, dim=DIM, hamming_radius=20, n_bands=8)
+        per_q = out.groupBy("vec_id").agg(
+            F.collect_list("rank").alias("ranks")
+        ).collect()
+        for r in per_q:
+            assert sorted(r["ranks"]) == list(range(1, len(r["ranks"]) + 1))
+
+
+def _media(spark):
+    rows = [
+        Row(media_id=1, url="http://m/a.png", media_type="image", payload=b"PNG" * 40),
+        Row(media_id=2, url="http://m/a2.png", media_type="image", payload=b"PNG" * 40),
+        Row(media_id=3, url="http://m/b.mp4", media_type="video", payload=b"MP4" * 99),
+        Row(media_id=4, url="http://m/null", media_type="image", payload=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestMultimodal:
+    def test_decode_schema_and_determinism(self, spark):
+        out = decode_media(_media(spark))
+        assert out.schema == DECODED_SCHEMA
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert rows[1]["features"] == rows[2]["features"]  # same bytes
+        assert len(rows[1]["features"]) == FEATURE_DIM
+        assert rows[1]["n_frames"] == 1 and rows[3]["n_frames"] > 1
+        assert rows[4]["features"] is None and rows[4]["n_bytes"] == 0
+
+    def test_real_backend_is_explicit_stub(self, spark):
+        with pytest.raises(Exception) as ei:
+            decode_media(_media(spark), decode_backend="real").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+
+    def test_frame_sample(self, spark):
+        dec = decode_media(_media(spark))
+        frames = frame_sample(dec, every_n=10, max_frames=4).collect()
+        assert all(r["media_id"] == 3 for r in frames)
+        assert len(frames) <= 4 and frames[0]["frame_idx"] == 0
+
+    def test_media_near_dup_identical_payloads_pair_up(self, spark):
+        dec = decode_media(_media(spark))
+        pairs = media_near_dup_pairs(dec, hamming_radius=4).collect()
+        assert {(p["id_lo"], p["id_hi"]) for p in pairs} == {(1, 2)}

@@ -1,0 +1,181 @@
+"""Catalog verb surface (S6-S9) + incremental ingest (S4/S5) + streaming shim.
+
+Mirrors the reference's DB-API test layer (/root/reference/Tests/Test_DbApi.py:
+104-518): insert/upsert/update/delete semantics, plus the incremental
+re-scan-skip behavior of scanner/fileHasher.py:309-356.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from intraarchivededuplicator_spark.config import DedupConfig
+from intraarchivededuplicator_spark.sources.catalog import ParquetCatalog
+from intraarchivededuplicator_spark.sources.ingest import (
+    DOCS_TABLE,
+    changed_pages,
+    incremental_ingest,
+)
+
+CFG = DedupConfig(minhash_k=16, minhash_bands=4)
+
+
+def _pages(spark, rows):
+    from intraarchivededuplicator_spark.streaming.ingest_stream import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (u, dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), None, t, "en")
+            for u, t in rows
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return ParquetCatalog(spark, str(tmp_path / "warehouse"))
+
+
+class TestCatalogVerbs:
+    def test_append_and_read(self, spark, catalog):
+        df = spark.range(5).withColumn("v", F.col("id") * 2)
+        catalog.append(df, "t")
+        catalog.append(spark.range(5, 8).withColumn("v", F.col("id") * 2), "t")
+        assert catalog.read("t").count() == 8
+        ops = [s["operation"] for s in catalog.snapshots("t")]
+        assert ops == ["append", "append"]
+
+    def test_time_travel(self, spark, catalog):
+        catalog.append(spark.range(3), "t")
+        catalog.append(spark.range(3, 10), "t")
+        assert catalog.read("t", version=1).count() == 3
+        assert catalog.read("t").count() == 10
+
+    def test_merge_upsert(self, spark, catalog):
+        catalog.append(
+            spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), "t"
+        )
+        catalog.merge(
+            spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]), "t", ["k"]
+        )
+        got = {r["k"]: r["v"] for r in catalog.read("t").collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+
+    def test_delete_where_and_refusal(self, spark, catalog):
+        catalog.append(spark.range(10), "t")
+        catalog.delete_where("t", F.col("id") >= 5)
+        assert catalog.read("t").count() == 5
+        with pytest.raises(ValueError):
+            catalog.delete_where("t", None)
+
+    def test_read_missing_table(self, catalog):
+        with pytest.raises(FileNotFoundError):
+            catalog.read("nope")
+
+
+class TestIncrementalIngest:
+    def test_first_batch_then_delta_only(self, spark, catalog):
+        p1 = _pages(spark, [("http://a/1", "alpha beta gamma"), ("http://a/2", "delta")])
+        incremental_ingest(spark, catalog, p1, CFG, extract=False)
+        assert catalog.read(DOCS_TABLE).count() == 2
+        v1 = catalog.snapshots(DOCS_TABLE)[-1]["version"]
+
+        # batch 2: one unchanged, one changed text, one new
+        p2 = _pages(
+            spark,
+            [
+                ("http://a/1", "alpha beta gamma"),  # unchanged -> skipped
+                ("http://a/2", "delta CHANGED"),
+                ("http://a/3", "epsilon"),
+            ],
+        )
+        existing = catalog.read(DOCS_TABLE)
+        delta = changed_pages(p2, existing, extract=False)
+        assert sorted(r["url"] for r in delta.select("url").collect()) == [
+            "http://a/2",
+            "http://a/3",
+        ]
+        docs = incremental_ingest(spark, catalog, p2, CFG, extract=False)
+        assert docs.count() == 3
+        changed = {r["url"]: r["text"] for r in docs.collect()}
+        assert changed["http://a/2"] == "delta CHANGED"
+        assert catalog.snapshots(DOCS_TABLE)[-1]["version"] > v1
+
+    def test_orphan_cleanup_on_full_listing(self, spark, catalog):
+        incremental_ingest(
+            spark,
+            catalog,
+            _pages(spark, [("http://a/1", "one"), ("http://a/2", "two")]),
+            CFG,
+            extract=False,
+        )
+        docs = incremental_ingest(
+            spark,
+            catalog,
+            _pages(spark, [("http://a/1", "one")]),
+            CFG,
+            extract=False,
+            full_listing=True,
+        )
+        assert [r["url"] for r in docs.collect()] == ["http://a/1"]
+
+
+class TestStreamingIngest:
+    def test_availablenow_stream_merges_batches(self, spark, catalog, tmp_path):
+        from intraarchivededuplicator_spark.streaming.ingest_stream import (
+            run_ingest_stream,
+        )
+
+        landing = str(tmp_path / "landing")
+        _pages(spark, [("http://s/1", "stream one"), ("http://s/2", "stream two")]).write.parquet(
+            landing
+        )
+        run_ingest_stream(
+            spark,
+            landing,
+            catalog,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            cfg=CFG,
+            extract=False,
+        )
+        docs = catalog.read(DOCS_TABLE)
+        assert docs.count() == 2
+        assert set(docs.columns) >= {"id", "url", "text_hash", "simhash", "minhash"}
+
+        # second drop: only the new file is processed (stream checkpoint),
+        # only the new url is merged (ingest anti-join)
+        _pages(spark, [("http://s/3", "stream three")]).write.mode("append").parquet(
+            landing
+        )
+        run_ingest_stream(
+            spark,
+            landing,
+            catalog,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            cfg=CFG,
+            extract=False,
+        )
+        assert catalog.read(DOCS_TABLE).count() == 3
+
+    def test_crawl_rate_watermarked_window(self, spark):
+        from intraarchivededuplicator_spark.streaming.ingest_stream import crawl_rate
+
+        from intraarchivededuplicator_spark.streaming.ingest_stream import PAGES_SCHEMA
+
+        rows = [
+            (
+                f"http://w/{i}",
+                dt.datetime(2026, 1, 1, i // 2, tzinfo=dt.timezone.utc),
+                None,
+                "x",
+                "en",
+            )
+            for i in range(6)
+        ]
+        out = crawl_rate(spark.createDataFrame(rows, schema=PAGES_SCHEMA)).collect()
+        assert sum(r["n_pages"] for r in out) == 6
+        assert all(r["window_end"] > r["window_start"] for r in out)

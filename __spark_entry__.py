@@ -63,6 +63,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,  # scale path, no SQL oracle
         "embedding_near_pairs": q.q_embedding_near_pairs,
+        # container-shaped coverage (A5/J2/A9/J11)
+        "site_doc_groups": q.q_site_doc_groups,
+        "minhash_pairs_cross_source": q.q_minhash_pairs_cross_source,
+        "source_integrity": q.q_source_integrity,
+        "deterministic_sample": q.q_deterministic_sample,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "orders_by_priority_month": q.q_orders_by_priority_month,
@@ -102,6 +107,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_near_pairs": o.sql_embedding_near_pairs(EMB_SCALE, 0.4),
+        "site_doc_groups": o.sql_site_doc_groups(),
+        "minhash_pairs_cross_source": o.sql_minhash_pairs_cross_source(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
+        ),
+        "source_integrity": o.sql_source_integrity(),
+        "deterministic_sample": o.sql_deterministic_sample(),
         "user_sessions": o.sql_user_sessions(1800),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),
     }

@@ -38,6 +38,9 @@ class DedupConfig:
     # skew handling (reference analogs cited in module docstring)
     hot_band_threshold: int = 500
     hot_band_salt: int = 16
+    # MinHash candidates entering the cluster graph must pass exact Jaccard
+    # verification at this threshold (candidates alone are probabilistic)
+    jaccard_verify_threshold: float = 0.7
     candidate_cap: int | None = None  # None = exact (no reference-style skip)
     blacklist: tuple[int, ...] = BAD_SIMHASHES
     minhash_params: MinHashParams = field(default_factory=MinHashParams.make)

@@ -28,9 +28,9 @@ from ..functions.textprep import with_extracted_text
 from ..functions.udfs import make_minhash_udf, simhash64_udf
 from ..operators.banded_join import banded_self_join
 from ..operators.cluster import assign_clusters
-from ..operators.containment import containment_pairs
+from ..operators.containment import _shingle_hashes32, containment_pairs
 from ..operators.exact import exact_pairs, with_text_hash
-from ..operators.lsh import minhash_candidate_pairs
+from ..operators.lsh import jaccard_verify_pairs, minhash_candidate_pairs
 from .checkpoint import NullCheckpointer, StageCheckpointer
 
 
@@ -74,6 +74,9 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
     exact = exact_pairs(matchable, "id", "text_hash").withColumn(
         "kind", F.lit("exact")
     )
+    shingled = matchable.select(
+        "id", _shingle_hashes32("text", cfg.k_shingle).alias("shingle_hashes")
+    ).filter(F.size("shingle_hashes") > 0)
     sim = banded_self_join(
         docs,
         "id",
@@ -84,17 +87,27 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         hot_threshold=cfg.hot_band_threshold,
         salt=cfg.hot_band_salt,
     ).withColumn("kind", F.lit("simhash"))
-    mh = (
-        minhash_candidate_pairs(
-            docs,
-            "id",
-            "minhash",
-            n_bands=cfg.minhash_bands,
-            rows_per_band=cfg.minhash_k // cfg.minhash_bands,
-            hot_threshold=cfg.hot_band_threshold,
+    mh_cand = minhash_candidate_pairs(
+        docs,
+        "id",
+        "minhash",
+        n_bands=cfg.minhash_bands,
+        rows_per_band=cfg.minhash_k // cfg.minhash_bands,
+        hot_threshold=cfg.hot_band_threshold,
+    )
+    mh = mh_cand.select(
+        "id_lo", "id_hi", F.lit(None).cast("int").alias("distance")
+    ).withColumn("kind", F.lit("minhash"))
+    # exact-Jaccard verification promotes candidates into the cluster graph —
+    # LSH candidates alone are probabilistic and must not merge clusters
+    jac = (
+        jaccard_verify_pairs(
+            mh_cand.select("id_lo", "id_hi"),
+            shingled,
+            threshold=cfg.jaccard_verify_threshold,
         )
         .select("id_lo", "id_hi", F.lit(None).cast("int").alias("distance"))
-        .withColumn("kind", F.lit("minhash"))
+        .withColumn("kind", F.lit("jaccard"))
     )
     cont = (
         containment_pairs(docs, "id", "text", cfg.k_shingle)
@@ -105,10 +118,16 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         )
         .withColumn("kind", F.lit("containment"))
     )
-    prec = F.when(F.col("kind") == "exact", 0).when(
-        F.col("kind") == "simhash", 1
-    ).when(F.col("kind") == "containment", 2).otherwise(3)
-    all_pairs = exact.unionByName(sim).unionByName(mh).unionByName(cont)
+    prec = (
+        F.when(F.col("kind") == "exact", 0)
+        .when(F.col("kind") == "simhash", 1)
+        .when(F.col("kind") == "containment", 2)
+        .when(F.col("kind") == "jaccard", 3)
+        .otherwise(4)
+    )
+    all_pairs = (
+        exact.unionByName(sim).unionByName(cont).unionByName(jac).unionByName(mh)
+    )
     return (
         all_pairs.withColumn("_prec", prec)
         .withColumn(
@@ -128,21 +147,34 @@ def dedup_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     checkpointer: StageCheckpointer | None = None,
     extract: bool = True,
-    cluster_kinds: tuple[str, ...] = ("exact", "simhash", "containment"),
+    cluster_kinds: tuple[str, ...] = ("exact", "simhash", "containment", "jaccard"),
 ) -> dict[str, DataFrame]:
     """Returns {'docs', 'pairs', 'clusters'}.
 
-    Clustering uses the *verified* pair families by default; raw MinHash LSH
-    candidates are emitted in `pairs` but do not merge clusters unless
-    explicitly requested (they are probabilistic candidates, not matches —
-    mirrors the reference clustering only confirmed Phash4 edges,
+    Clustering uses the *verified* pair families by default — exact hash,
+    banded-Hamming-verified SimHash, suffix-array-verified containment, and
+    exact-Jaccard-verified MinHash. Raw MinHash LSH candidates are emitted in
+    `pairs` but do not merge clusters (they are probabilistic candidates, not
+    matches — mirrors the reference clustering only confirmed Phash4 edges,
     /root/reference/graphApi.py:38-57).
     """
     ck = checkpointer or NullCheckpointer()
     ck.config_fingerprint = config_fingerprint(cfg)
 
+    # a narrow source (one parquet file, one kafka partition) must not
+    # serialize the Arrow UDF stages: spread to the session's parallelism
+    target_parts = spark.sparkContext.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < target_parts // 2:
+        pages = pages.repartition(target_parts)
+
     docs = ck.run(spark, "docs", lambda: compute_docs(pages, cfg, extract=extract))
+    if isinstance(ck, NullCheckpointer):
+        # without a materializing checkpointer the four pair legs would each
+        # recompute the signature UDFs — cache once
+        docs = docs.persist()
     pairs = ck.run(spark, "pairs", lambda: build_pairs(docs, cfg))
+    if isinstance(ck, NullCheckpointer):
+        pairs = pairs.persist()
     clusters = ck.run(
         spark,
         "clusters",

@@ -215,5 +215,8 @@ def write_parquet(corpus: SynthCorpus, out_dir: str) -> None:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    corpus.pages.to_parquet(f"{out_dir}/pages.parquet", index=False)
+    # Spark's parquet reader rejects NANOS timestamps -> coerce to micros
+    corpus.pages.to_parquet(
+        f"{out_dir}/pages.parquet", index=False, coerce_timestamps="us"
+    )
     corpus.truth.to_parquet(f"{out_dir}/pages_truth.parquet", index=False)

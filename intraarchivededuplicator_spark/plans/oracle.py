@@ -173,6 +173,41 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id ORDER BY id_lo, id_hi"""
 
 
+def sql_minhash_pairs_cross_source(
+    params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int
+) -> str:
+    base = sql_minhash_band_pairs(params, k_shingle, n_bands, rows_per_band)
+    return f"""
+WITH pairs AS ({base})
+SELECT p.id_lo, p.id_hi, p.n_shared_bands
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_lo
+JOIN documents b ON b.doc_id = p.id_hi
+WHERE a.source <> b.source"""
+
+
+def sql_site_doc_groups() -> str:
+    return """
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY source"""
+
+
+def sql_source_integrity() -> str:
+    return """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       round(count(DISTINCT md5(text)) / count(*), 6) AS uniq_ratio,
+       (count(DISTINCT md5(text)) / count(*) < 0.5) AS is_suspect
+FROM documents GROUP BY source"""
+
+
+def sql_deterministic_sample() -> str:
+    return """
+SELECT doc_id, n_chars FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 1) = '0'"""
+
+
 # --- query-for-query oracles for plans/queries.py ---------------------------
 
 def sql_exact_dup_groups() -> str:
@@ -192,7 +227,7 @@ def sql_simhash_radius_search(radius: int) -> str:
 WITH {cte_simhash('documents')}
 SELECT q.doc_id AS q_id, c.doc_id AS match_id,
        bit_count(xor(q.simhash, c.simhash))::INT AS distance
-FROM sh q JOIN sh c ON q.doc_id % 100 = 0 AND q.doc_id <> c.doc_id
+FROM sh q JOIN sh c ON q.doc_id % 100 = 0
 WHERE bit_count(xor(q.simhash, c.simhash)) <= {radius}"""
 
 

@@ -81,7 +81,10 @@ def q_simhash_radius_pairs(spark, sf_dir):
 
 
 def q_simhash_radius_search(spark, sf_dir):
-    """J5/J6 batch probe at r=6 excluding self-matches (SO4)."""
+    """J5/J6 batch probe at r=6. Self-matches are INCLUDED — the reference's
+    getWithinDistance returns the probe itself when present
+    (/root/reference/dbPhashApi.py:175-192); SO4 self-exclusion is the
+    caller's business."""
     d = docs_with_sig(spark, sf_dir)
     probes = d.filter(F.col("doc_id") % 100 == 0).select("doc_id", "simhash")
     out = banded_radius_search(
@@ -94,7 +97,7 @@ def q_simhash_radius_search(spark, sf_dir):
         query_sig="simhash",
         n_bands=SIMHASH_BANDS,
     )
-    return out.filter(F.col("q_id") != F.col("match_id")).select(
+    return out.select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("match_id").cast("long").alias("match_id"),
         F.col("distance").cast("int").alias("distance"),
@@ -176,7 +179,7 @@ def q_minhash_band_pairs(spark, sf_dir):
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Character-trigram Jaccard near-dup pairs (threshold 0.5) via exact
+    """Character-trigram Jaccard near-dup pairs (threshold 0.8) via exact
     prefix filtering (operators/setsim.py) — candidates join only on each
     doc's rarest grams, so common-trigram skew never reaches the shuffle."""
     from ..operators.setsim import jaccard_self_join
@@ -354,6 +357,66 @@ def q_embedding_near_pairs(spark, sf_dir):
     return joined.select(
         "id_lo", "id_hi", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.4)
+
+
+# --- container-shaped coverage (A5/J2/A9/J11) --------------------------------
+
+def q_site_doc_groups(spark, sf_dir):
+    """A5 group-to-dict: docs per container (`source` plays fsPath,
+    /root/reference/dbApi.py:544-566) with deterministic sorted member list
+    (R3 discipline) and id extents (A3, /root/reference/dbApi.py:742-754)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("doc_ids"),
+    )
+
+
+def q_minhash_pairs_cross_source(spark, sf_dir):
+    """J2 'matches excluding own container': MinHash band candidates whose two
+    docs live in different sources (/root/reference/dbApi.py:503-507)."""
+    pairs = q_minhash_band_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_lo"), F.col("source").alias("src_lo")),
+            "id_lo",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_hi"), F.col("source").alias("src_hi")),
+            "id_hi",
+        )
+        .filter(F.col("src_lo") != F.col("src_hi"))
+        .select("id_lo", "id_hi", "n_shared_bands")
+    )
+
+
+def q_source_integrity(spark, sf_dir):
+    """A9 uniqueness-ratio integrity gate, set-oriented: distinct-hash ratio
+    per container; suspect below 0.5
+    (/root/reference/deduplicator/ProcessArchive.py:521-567)."""
+    d = with_text_hash(load(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_distinct"),
+        F.round(F.countDistinct("text_hash") / F.count("*"), 6).alias("uniq_ratio"),
+        (F.countDistinct("text_hash") / F.count("*") < 0.5).alias("is_suspect"),
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """J11/R4 sampling, made engine-portable: hash-based 1/16 pseudo-sample
+    (md5 prefix) instead of TABLESAMPLE so Spark and the oracle agree row-for-
+    row (/root/reference/dbPhashApi.py:168-173, dbApi.py:758-788)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "n_chars")
 
 
 # --- events (sessionization / windows) -----------------------------------------

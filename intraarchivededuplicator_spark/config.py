@@ -35,6 +35,13 @@ class DedupConfig:
     simhash_radius: int = 4
     simhash_bands: int = 8  # 8 x 8-bit bands: full recall for r <= 7
     seed: int = 42
+    # collapse exact-duplicate texts to one representative BEFORE the fuzzy
+    # legs: star edges link members (O(m) not O(m^2) for an m-member exact
+    # group) and SimHash/MinHash/containment run on distinct texts only. At
+    # web scale 30-50% of pages are byte-exact dups, so this halves fuzzy
+    # work AND bounds mega-group pair emission. False restores the flat
+    # all-pairs table (strict reference pair-table parity).
+    exact_first: bool = True
     # skew handling (reference analogs cited in module docstring)
     hot_band_threshold: int = 500
     hot_band_salt: int = 16

@@ -25,10 +25,10 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.columns import tokens
 from ..functions.textprep import with_extracted_text
-from ..functions.udfs import make_minhash_udf, simhash64_udf
+from ..functions.udfs import make_minhash_udf, make_shingle_hashes_udf, simhash64_udf
 from ..operators.banded_join import banded_self_join
 from ..operators.cluster import assign_clusters
-from ..operators.containment import _shingle_hashes32, containment_pairs
+from ..operators.containment import containment_pairs
 from ..operators.exact import exact_pairs, with_text_hash
 from ..operators.lsh import jaccard_verify_pairs, minhash_candidate_pairs
 from .checkpoint import NullCheckpointer, StageCheckpointer
@@ -49,6 +49,7 @@ def compute_docs(
     df = with_extracted_text(pages) if extract else pages
     df = with_text_hash(df)
     minhash_udf = make_minhash_udf(cfg.k_shingle, cfg.minhash_params)
+    shingle_udf = make_shingle_hashes_udf(cfg.k_shingle)
     return df.select(
         F.xxhash64("url").alias("id"),
         F.col("url"),
@@ -57,6 +58,7 @@ def compute_docs(
         F.col("text_hash"),
         simhash64_udf(F.col("text")).alias("simhash"),
         minhash_udf(F.col("text")).alias("minhash"),
+        shingle_udf(F.col("text")).alias("shingle_hashes"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
         *([F.col("lang")] if "lang" in df.columns else []),
         *([F.col("warc_ts")] if "warc_ts" in df.columns else []),
@@ -64,21 +66,45 @@ def compute_docs(
 
 
 def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Union of all four pair families, canonical + deduplicated:
+    """Union of all pair families, canonical + deduplicated:
     (id_lo, id_hi, distance, kind). kind precedence exact > simhash >
-    containment > minhash when the same pair is found by several legs."""
+    containment > jaccard > minhash when the same pair is found by several
+    legs.
+
+    With cfg.exact_first (default), byte-identical texts collapse to their
+    min-id representative first: members link to the rep by star edges
+    (distance 0, kind 'exact'), and every fuzzy leg sees only distinct texts.
+    Connectivity of the cluster graph is unchanged (a star spans exactly the
+    clique it replaces) while an m-member exact group emits m-1 edges instead
+    of m(m-1)/2 and is hashed/sig-joined once instead of m times."""
     # junk gate: empty/whitespace-only docs never enter the pair legs — the
     # P6 junk-file filter analog (/root/reference/deduplicator/ProcessArchive.py:228-262);
     # without it every blank page md5-matches every other blank page
     matchable = docs.filter(F.col("n_tokens") > 0)
-    exact = exact_pairs(matchable, "id", "text_hash").withColumn(
-        "kind", F.lit("exact")
+    if cfg.exact_first:
+        w = Window.partitionBy("text_hash")
+        with_rep = matchable.withColumn("rep_id", F.min("id").over(w))
+        # rep is the min id, so (rep_id, id) is already canonical
+        exact = (
+            with_rep.filter(F.col("id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("id_lo"),
+                F.col("id").alias("id_hi"),
+                F.lit(0).alias("distance"),
+            )
+            .withColumn("kind", F.lit("exact"))
+        )
+        matchable = with_rep.filter(F.col("id") == F.col("rep_id")).drop("rep_id")
+    else:
+        exact = exact_pairs(matchable, "id", "text_hash").withColumn(
+            "kind", F.lit("exact")
+        )
+    # shingle sets were computed once in compute_docs; never recompute here
+    shingled = matchable.select("id", "shingle_hashes").filter(
+        F.col("shingle_hashes").isNotNull()
     )
-    shingled = matchable.select(
-        "id", _shingle_hashes32("text", cfg.k_shingle).alias("shingle_hashes")
-    ).filter(F.size("shingle_hashes") > 0)
     sim = banded_self_join(
-        docs,
+        matchable,
         "id",
         "simhash",
         cfg.simhash_radius,
@@ -88,7 +114,7 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         salt=cfg.hot_band_salt,
     ).withColumn("kind", F.lit("simhash"))
     mh_cand = minhash_candidate_pairs(
-        docs,
+        matchable,
         "id",
         "minhash",
         n_bands=cfg.minhash_bands,
@@ -110,7 +136,9 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         .withColumn("kind", F.lit("jaccard"))
     )
     cont = (
-        containment_pairs(docs, "id", "text", cfg.k_shingle)
+        containment_pairs(
+            matchable, "id", "text", cfg.k_shingle, shingle_col="shingle_hashes"
+        )
         .select(
             F.least("inner_id", "outer_id").alias("id_lo"),
             F.greatest("inner_id", "outer_id").alias("id_hi"),

@@ -1,0 +1,140 @@
+"""Set-oriented ProcessArchive query surface: match aggregation and reporting.
+
+The reference answers "which other containers look like this one, and which is
+the best match?" per archive, interactively
+(/root/reference/deduplicator/ProcessArchive.py:599-670). Here the same
+queries are one declarative plan over the whole corpus at once — every
+container answered in a single job:
+
+  A6 match aggregation      countDistinct(query doc) per (query site, cand
+                            site) — counting each query doc once prevents a
+                            single white-page doc matching 50 candidate docs
+                            from inflating the score, the exact dedup
+                            rationale of ProcessArchive.py:645-659
+  A7 histogram inversion    {match_count: sorted [sites]}         (:210-226)
+  A8 mean truncation        keep candidates >= mean count, > 1    (:192-208)
+  R1 best match             argmax matches, ties -> larger size,
+                            then lexicographic                    (:264-300)
+  C2 uniqueness predicates  "no matches at all"                   (:86-121)
+  P8 quality theta filter   candidate doc must not be smaller
+                            than the query doc                    (:451-457)
+
+`sites` here are url hosts (the fsPath/container analog, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _doc_pairs_with_sites(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """pairs(id_lo, id_hi, kind) x docs(id, site, n_tokens) ->
+    symmetric (q_id, q_site, q_tokens, c_id, c_site, c_tokens, kind)."""
+    meta = docs.select("id", "site", "n_tokens")
+    sym = pairs.select(
+        F.col("id_lo").alias("q_id"), F.col("id_hi").alias("c_id"), "kind"
+    ).unionByName(
+        pairs.select(
+            F.col("id_hi").alias("q_id"), F.col("id_lo").alias("c_id"), "kind"
+        )
+    )
+    q = meta.select(
+        F.col("id").alias("q_id"),
+        F.col("site").alias("q_site"),
+        F.col("n_tokens").alias("q_tokens"),
+    )
+    c = meta.select(
+        F.col("id").alias("c_id"),
+        F.col("site").alias("c_site"),
+        F.col("n_tokens").alias("c_tokens"),
+    )
+    return sym.join(q, "q_id").join(c, "c_id")
+
+
+def site_match_counts(
+    pairs: DataFrame,
+    docs: DataFrame,
+    kinds: tuple[str, ...] | None = None,
+    quality_theta: bool = False,
+) -> DataFrame:
+    """A6: (q_site, c_site, n_matched_docs), self-site excluded (SO4).
+
+    quality_theta=True drops matches whose candidate doc is smaller than the
+    query doc (the imgx/imgy resolution filter analog, P8)."""
+    dp = _doc_pairs_with_sites(pairs, docs)
+    if kinds:
+        dp = dp.filter(F.col("kind").isin(list(kinds)))
+    dp = dp.filter(F.col("q_site") != F.col("c_site"))
+    if quality_theta:
+        dp = dp.filter(F.col("c_tokens") >= F.col("q_tokens"))
+    return dp.groupBy("q_site", "c_site").agg(
+        F.countDistinct("q_id").alias("n_matched_docs")
+    )
+
+
+def histogram_inversion(match_counts: DataFrame) -> DataFrame:
+    """A7: per q_site, {n_matched_docs: sorted [c_site]} as exploded rows
+    (n_matched_docs, c_sites) — sorted for R3 determinism."""
+    return (
+        match_counts.groupBy("q_site", "n_matched_docs")
+        .agg(F.sort_array(F.collect_list("c_site")).alias("c_sites"))
+    )
+
+
+def significantly_similar_sites(match_counts: DataFrame) -> DataFrame:
+    """A8: keep candidates with n >= mean(n) per q_site, and n > 1."""
+    w = Window.partitionBy("q_site")
+    return (
+        match_counts.withColumn("_mean", F.avg("n_matched_docs").over(w))
+        .filter(
+            (F.col("n_matched_docs") >= F.col("_mean"))
+            & (F.col("n_matched_docs") > 1)
+        )
+        .drop("_mean")
+    )
+
+
+def best_matching_site(
+    match_counts: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """R1: per q_site the single best candidate — most matched docs, ties to
+    the larger candidate site (total tokens: the file-size tie-break analog),
+    then lexicographic site for full determinism."""
+    site_size = docs.groupBy("site").agg(F.sum("n_tokens").alias("site_tokens"))
+    w = Window.partitionBy("q_site").orderBy(
+        F.desc("n_matched_docs"), F.desc("site_tokens"), F.asc("c_site")
+    )
+    return (
+        match_counts.join(
+            site_size.withColumnRenamed("site", "c_site"), "c_site"
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q_site",
+            F.col("c_site").alias("best_site"),
+            "n_matched_docs",
+            "site_tokens",
+        )
+    )
+
+
+def site_uniqueness(
+    pairs: DataFrame, docs: DataFrame, kinds: tuple[str, ...] = ("exact",)
+) -> DataFrame:
+    """C2: per site, is_unique = no cross-site matches of the given kinds.
+
+    isBinaryUnique ≙ kinds=('exact',); isPhashUnique ≙ kinds=('simhash',)."""
+    matched = (
+        site_match_counts(pairs, docs, kinds=kinds)
+        .select(F.col("q_site").alias("site"))
+        .distinct()
+        .withColumn("_m", F.lit(True))
+    )
+    return (
+        docs.select("site")
+        .distinct()
+        .join(matched, "site", "left")
+        .select("site", F.coalesce(~F.col("_m"), F.lit(True)).alias("is_unique"))
+    )

@@ -28,11 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.columns import token_shingles, tokens
 from ..functions.hashing import MINHASH_PRIME  # noqa: F401  (doc cross-ref)
-from ..functions.udfs import make_min_shingle_udf
 
 
 def _shingle_hashes32(text_col: str, k: int) -> F.Column:
-    """Distinct shingle_hash32 values, JVM-side: md5 -> first 8 hex -> conv."""
+    """Distinct shingle_hash32 values, JVM-side: md5 -> first 8 hex -> conv.
+
+    Kept only for oracle-parity queries (plans/queries.q_doc_fingerprint);
+    the engine path uses columns.shingle_hashes64 (xxhash64, ~20x cheaper)."""
     sh = token_shingles(tokens(F.col(text_col)), k)
     return F.array_distinct(
         F.transform(
@@ -50,24 +52,37 @@ def containment_pairs(
     text_col: str = "text",
     k_shingle: int = 5,
     use_suffix_array: bool = True,
+    shingle_col: str | None = None,
 ) -> DataFrame:
-    """(inner_id, outer_id) where inner text ⊂ outer text, len(inner) < len(outer)."""
-    min_shingle = make_min_shingle_udf(k_shingle)
+    """(inner_id, outer_id) where inner text ⊂ outer text, len(inner) < len(outer).
+
+    Pass shingle_col when the docs table already carries the shingle-hash set
+    (engine/pipeline computes it once in the signature pass) — anchors and the
+    outer explode then reuse it with zero recomputation.
+    """
+    if shingle_col is None:
+        from ..functions.udfs import make_shingle_hashes_udf
+
+        docs = docs.withColumn(
+            "_sh", make_shingle_hashes_udf(k_shingle)(F.col(text_col))
+        )
+        shingle_col = "_sh"
     # docs with < k_shingle tokens have no anchor and are skipped: containment
     # is only defined for inner docs of at least one shingle (degenerate/empty
-    # docs are the blacklist's business, not this operator's)
+    # docs are the blacklist's business, not this operator's).
+    # anchor = min shingle hash (a winnowing anchor)
     inner = docs.select(
         F.col(id_col).alias("inner_id"),
         F.col(text_col).alias("inner_text"),
         F.length(text_col).alias("inner_len"),
-        min_shingle(F.col(text_col)).alias("anchor"),
+        F.array_min(F.col(shingle_col)).alias("anchor"),
     ).filter(F.col("anchor").isNotNull())
 
-    outer = docs.select(
+    outer = docs.filter(F.col(shingle_col).isNotNull()).select(
         F.col(id_col).alias("outer_id"),
         F.col(text_col).alias("outer_text"),
         F.length(text_col).alias("outer_len"),
-        F.explode(_shingle_hashes32(text_col, k_shingle)).alias("anchor"),
+        F.explode(F.col(shingle_col)).alias("anchor"),
     )
     # prune outer shingle rows to ones that are somebody's anchor
     anchors = inner.select("anchor").distinct()

@@ -56,21 +56,25 @@ def test_extraction_invariant(spark, corpus, result):
 
 def test_recall_vs_bruteforce_oracle(spark, result):
     """BASELINE target: dup-pair recall >= 0.99 vs the O(n^2) oracle at the
-    same signature config. The banded join is exact, so this must be 1.0."""
+    same signature config, measured the way the north rule states it — both
+    ends of every true in-radius pair share a cluster_id. (With exact_first
+    canonicalization the pairs table stores star edges + rep-level fuzzy
+    pairs, so pair-set equality is not the contract; connectivity is.) The
+    banded join is exact by pigeonhole, so this must be 1.0."""
     docs = result["docs"]
     truth_pairs = brute_force_pairs(
-        docs.filter(~F.col("simhash").isin(list(CFG.blacklist))),
+        docs.filter(
+            ~F.col("simhash").isin(list(CFG.blacklist)) & (F.col("n_tokens") > 0)
+        ),
         "id",
         "simhash",
         CFG.simhash_radius,
     )
     t = {(r["id_lo"], r["id_hi"]) for r in truth_pairs.collect()}
-    found = {
-        (r["id_lo"], r["id_hi"])
-        for r in result["pairs"].filter(F.col("kind").isin(["exact", "simhash"])).collect()
-    }
+    cl = {r["id"]: r["cluster_id"] for r in result["clusters"].collect()}
     assert len(t) > 0
-    recall = len(t & found) / len(t)
+    same = sum(1 for a, b in t if cl[a] == cl[b])
+    recall = same / len(t)
     assert recall >= 0.99, f"recall {recall}"
     assert recall == 1.0  # banded join is exact by pigeonhole
 

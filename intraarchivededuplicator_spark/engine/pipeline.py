@@ -7,8 +7,8 @@ all-pairs edge extraction (loader.py) collapse into one declarative plan:
     read pages
       -> extract text (Arrow UDF)                      [scanner/hashFile.py]
       -> md5 + SimHash64 + MinHash signatures          [H1/H2/H3 analogs]
-      -> pairs: exact ∪ banded-Hamming ∪ MinHash-LSH ∪ containment
-                                                       [J1/J7/J12]
+      -> pairs: exact stars ∪ banded-Hamming ∪ containment
+                ∪ Jaccard-verified MinHash-LSH          [J1/J7/J12]
       -> union-find clusters                           [graphApi components]
       -> per-site match aggregation / best match       [A6-A8, R1]
 
@@ -197,12 +197,26 @@ def dedup_pipeline(
 
     docs = ck.run(spark, "docs", lambda: compute_docs(pages, cfg, extract=extract))
     if isinstance(ck, NullCheckpointer):
-        # without a materializing checkpointer the four pair legs would each
+        # without a materializing checkpointer the pair legs would each
         # recompute the signature UDFs — cache once
         docs = docs.persist()
     pairs = ck.run(spark, "pairs", lambda: build_pairs(docs, cfg))
     if isinstance(ck, NullCheckpointer):
         pairs = pairs.persist()
+
+    # S13 skew registry: SimHash band keys whose group exceeds the hot
+    # threshold — the high_incidence_hashes side table analog
+    # (/root/reference/dbPhashApi.py:185-191), persisted by jobs/dedup_job so
+    # operators can consult it for salting/blacklisting across runs
+    from ..operators.banded_join import explode_bands, hot_band_keys
+
+    hot_bands = hot_band_keys(
+        explode_bands(
+            docs.filter(F.col("simhash").isNotNull()), "id", "simhash",
+            cfg.simhash_bands,
+        ),
+        cfg.hot_band_threshold,
+    )
     clusters = ck.run(
         spark,
         "clusters",
@@ -210,4 +224,9 @@ def dedup_pipeline(
             docs, pairs.filter(F.col("kind").isin(list(cluster_kinds)))
         ).join(docs.select("id", "url"), "id"),
     )
-    return {"docs": docs, "pairs": pairs, "clusters": clusters}
+    return {
+        "docs": docs,
+        "pairs": pairs,
+        "clusters": clusters,
+        "hot_bands": hot_bands,
+    }

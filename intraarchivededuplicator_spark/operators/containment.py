@@ -53,12 +53,30 @@ def containment_pairs(
     k_shingle: int = 5,
     use_suffix_array: bool = True,
     shingle_col: str | None = None,
+    hot_anchor_cap: int | None = 250_000,
 ) -> DataFrame:
     """(inner_id, outer_id) where inner text ⊂ outer text, len(inner) < len(outer).
 
     Pass shingle_col when the docs table already carries the shingle-hash set
     (engine/pipeline computes it once in the signature pass) — anchors and the
     outer explode then reuse it with zero recomputation.
+
+    Candidate plan (ids only — no text leaves its partition until the final
+    verify): min-anchor equi-join -> shingle-subset filter (containment
+    implies inner's WHOLE shingle set ⊆ outer's, checked JVM-side with
+    array_except) -> texts joined for the few survivors -> per-outer-doc
+    suffix-array verify.
+
+    Skew: the anchor is each doc's globally RAREST shingle (min by document
+    frequency, hash tie-break) — valid because containment puts EVERY inner
+    shingle in the outer set, so any shingle works as the anchor, and the
+    rarest is the most selective. A common shingle can therefore never
+    accumulate a large anchor group; only true near-identical mega-clusters
+    (where every shingle is shared by all m members) stay hot, and anchors
+    whose inner x df product exceeds hot_anchor_cap are skipped — their
+    connectivity is the SimHash/Jaccard legs' job (the reference's
+    >100-candidate skip, /root/reference/deduplicator/ProcessArchive.py:
+    504-513). None disables the cap.
     """
     if shingle_col is None:
         from ..functions.udfs import make_shingle_hashes_udf
@@ -67,26 +85,43 @@ def containment_pairs(
             "_sh", make_shingle_hashes_udf(k_shingle)(F.col(text_col))
         )
         shingle_col = "_sh"
+    base = docs.filter(F.col(shingle_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).alias("_len"),
+        F.col(shingle_col).alias("_sh"),
+    )
     # docs with < k_shingle tokens have no anchor and are skipped: containment
     # is only defined for inner docs of at least one shingle (degenerate/empty
     # docs are the blacklist's business, not this operator's).
     # anchor = min shingle hash (a winnowing anchor)
-    inner = docs.select(
-        F.col(id_col).alias("inner_id"),
-        F.col(text_col).alias("inner_text"),
-        F.length(text_col).alias("inner_len"),
-        F.array_min(F.col(shingle_col)).alias("anchor"),
-    ).filter(F.col("anchor").isNotNull())
-
-    outer = docs.filter(F.col(shingle_col).isNotNull()).select(
-        F.col(id_col).alias("outer_id"),
-        F.col(text_col).alias("outer_text"),
-        F.length(text_col).alias("outer_len"),
-        F.explode(F.col(shingle_col)).alias("anchor"),
+    exploded = base.select(F.col("_id"), F.col("_len"), F.explode("_sh").alias("s"))
+    df_tbl = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    inner = (
+        exploded.join(df_tbl, "s")
+        .groupBy("_id", "_len")
+        .agg(F.min(F.struct("df", "s")).alias("_m"))
+        .select(
+            F.col("_id").alias("inner_id"),
+            F.col("_len").alias("inner_len"),
+            F.col("_m.s").alias("anchor"),
+        )
     )
-    # prune outer shingle rows to ones that are somebody's anchor
-    anchors = inner.select("anchor").distinct()
-    outer = outer.join(F.broadcast(anchors), "anchor", "left_semi")
+    if hot_anchor_cap is not None:
+        hot = (
+            inner.groupBy("anchor")
+            .agg(F.count("*").alias("n_in"))
+            .join(df_tbl.withColumnRenamed("s", "anchor"), "anchor")
+            .filter(F.col("n_in") * F.col("df") > hot_anchor_cap)
+            .select("anchor")
+        )
+        inner = inner.join(F.broadcast(hot), "anchor", "left_anti")
+    # prune outer shingle rows to the ones that are somebody's anchor
+    outer = exploded.select(
+        F.col("_id").alias("outer_id"),
+        F.col("_len").alias("outer_len"),
+        F.col("s").alias("anchor"),
+    ).join(F.broadcast(inner.select("anchor").distinct()), "anchor", "left_semi")
 
     cand = (
         outer.join(inner, "anchor")
@@ -94,8 +129,26 @@ def containment_pairs(
             (F.col("inner_id") != F.col("outer_id"))
             & (F.col("inner_len") < F.col("outer_len"))
         )
-        .select("outer_id", "outer_text", "inner_id", "inner_text")
+        .select("outer_id", "inner_id")
         .dropDuplicates(["outer_id", "inner_id"])
+    )
+    # exact necessary condition, JVM-side: inner shingle set ⊆ outer's
+    sh_in = base.select(F.col("_id").alias("inner_id"), F.col("_sh").alias("_sh_in"))
+    sh_out = base.select(F.col("_id").alias("outer_id"), F.col("_sh").alias("_sh_out"))
+    cand = (
+        cand.join(sh_in, "inner_id")
+        .join(sh_out, "outer_id")
+        .filter(F.size(F.array_except("_sh_in", "_sh_out")) == 0)
+        .select("outer_id", "inner_id")
+    )
+    texts_in = base.select(
+        F.col("_id").alias("inner_id"), F.col("_text").alias("inner_text")
+    )
+    texts_out = base.select(
+        F.col("_id").alias("outer_id"), F.col("_text").alias("outer_text")
+    )
+    cand = cand.join(texts_in, "inner_id").join(texts_out, "outer_id").select(
+        "outer_id", "outer_text", "inner_id", "inner_text"
     )
 
     if not use_suffix_array:

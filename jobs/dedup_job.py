@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> None:
     out = dedup_pipeline(
         spark, pages, cfg, checkpointer=ck, extract=not args.no_extract
     )
-    for name in ("docs", "pairs", "clusters"):
+    for name in ("docs", "pairs", "clusters", "hot_bands"):
         catalog.overwrite(out[name], name)
 
     metrics = [

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q.q_deterministic_sample,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
+        "events_hourly_rate": q.q_events_hourly_rate,
         "orders_by_priority_month": q.q_orders_by_priority_month,
     }
 
@@ -114,5 +115,6 @@ def oracle_sql() -> dict[str, str]:
         "source_integrity": o.sql_source_integrity(),
         "deterministic_sample": o.sql_deterministic_sample(),
         "user_sessions": o.sql_user_sessions(1800),
+        "events_hourly_rate": o.sql_events_hourly_rate(),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),
     }

@@ -198,11 +198,18 @@ def dedup_pipeline(
     docs = ck.run(spark, "docs", lambda: compute_docs(pages, cfg, extract=extract))
     if isinstance(ck, NullCheckpointer):
         # without a materializing checkpointer the pair legs would each
-        # recompute the signature UDFs — cache once
+        # recompute the signature UDFs — cache AND materialize now. The
+        # count is not optional: the union-find localCheckpoint below
+        # executes eagerly, and against a cold cache it would re-execute the
+        # whole multi-leg pairs plan inside one job, where the optimizer has
+        # mis-sized a join side badly enough to OOM the broadcast exchange
+        # (observed at 160k docs even with a 48g heap)
         docs = docs.persist()
+        docs.count()
     pairs = ck.run(spark, "pairs", lambda: build_pairs(docs, cfg))
     if isinstance(ck, NullCheckpointer):
         pairs = pairs.persist()
+        pairs.count()
 
     # S13 skew registry: SimHash band keys whose group exceeds the hot
     # threshold — the high_incidence_hashes side table analog

@@ -77,12 +77,14 @@ def gen_pages(
     n_sites: int | None = None,
     min_tokens: int = 200,
     max_tokens: int = 2000,
+    class_fractions: list[tuple[str, float]] | None = None,
 ) -> SynthCorpus:
     rng = np.random.RandomState(seed)
     n_sites = n_sites or max(4, n_rows // 25)
 
-    names = [c for c, _ in CLASS_FRACTIONS]
-    probs = np.array([f for _, f in CLASS_FRACTIONS])
+    fractions = class_fractions or CLASS_FRACTIONS
+    names = [c for c, _ in fractions]
+    probs = np.array([f for _, f in fractions])
     classes = rng.choice(len(names), size=n_rows, p=probs / probs.sum())
 
     # hot cluster shares one base text

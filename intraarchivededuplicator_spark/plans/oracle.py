@@ -208,6 +208,17 @@ SELECT doc_id, n_chars FROM documents
 WHERE substring(md5(doc_id::VARCHAR), 1, 1) = '0'"""
 
 
+def sql_events_hourly_rate() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1, 2"""
+
+
 # --- query-for-query oracles for plans/queries.py ---------------------------
 
 def sql_exact_dup_groups() -> str:

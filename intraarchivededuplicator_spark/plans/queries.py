@@ -441,6 +441,33 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_events_hourly_rate(spark, sf_dir):
+    """Event-time windowed aggregation (the batch twin of the streaming
+    crawl-rate plan, streaming/ingest_stream.crawl_rate): events per hour and
+    type, plus JSON prop extraction (get_json_object ≙ json_extract)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("long")
+            ).alias("sum_k"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+            "sum_k",
+        )
+    )
+
+
 def q_orders_by_priority_month(spark, sf_dir):
     """Relational coverage: join + group with integer outputs only."""
     o = load(spark, sf_dir, "orders")

@@ -29,10 +29,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode: driver memory IS the whole JVM heap (all executor
+        # threads, cache, broadcasts); size for the 128 GiB sandbox. On a
+        # real cluster the executors have their own spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

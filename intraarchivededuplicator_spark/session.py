@@ -19,6 +19,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # shuffle/spill dir: prefer RAM-backed tmpfs in the sandbox — the VM's
+    # block device serializes shuffle IO and flattens core-count scaling
+    # (measured speedup 1.01x from 8->32 cores with /tmp shuffle files). On a
+    # real cluster the analog is local NVMe per executor.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -37,6 +45,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -213,7 +213,7 @@ def sql_events_hourly_rate() -> str:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value,
        count(DISTINCT user_id) AS n_users,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
 FROM events GROUP BY 1, 2"""

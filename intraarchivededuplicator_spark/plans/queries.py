@@ -451,7 +451,12 @@ def q_events_hourly_rate(spark, sf_dir):
         .groupBy("hour", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # order-independent float sum: integer-scale each value BEFORE
+            # summing (the embeddings trick, _scaled above) — round(sum(dbl))
+            # is partition-order-sensitive and diverged from the oracle in r1
+            F.round(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1e6, 6
+            ).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum(
                 F.get_json_object("props", "$.k").cast("long")

@@ -1,0 +1,137 @@
+"""Per-leg profile of the flagship job — finds the non-scaling component.
+
+Times each pipeline component separately (docs signatures, then every pair
+leg — exact / simhash banded / minhash candidates / jaccard verify /
+containment — then the union+dedup and union-find clustering) at local[N].
+Each leg is materialized with .count() against the persisted docs table, so
+its wall time is attributable even though legs share scan lineage.
+
+Usage:
+  python tools/profile_scaling.py 8
+  python tools/profile_scaling.py 32
+  SCALE_ROWS=40000 python tools/profile_scaling.py 8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_ROWS = int(os.environ.get("SCALE_ROWS", "40000"))
+SEED = 42
+CORPUS_DIR = f"/tmp/scale_corpus_{N_ROWS}_{SEED}_h1"
+
+
+def run(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from intraarchivededuplicator_spark.config import DedupConfig
+    from intraarchivededuplicator_spark.engine.pipeline import (
+        build_pairs,
+        compute_docs,
+    )
+    from intraarchivededuplicator_spark.operators.banded_join import banded_self_join
+    from intraarchivededuplicator_spark.operators.cluster import assign_clusters
+    from intraarchivededuplicator_spark.operators.containment import containment_pairs
+    from intraarchivededuplicator_spark.operators.lsh import (
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+    )
+    from intraarchivededuplicator_spark.session import get_spark
+    from tools.scaling_bench import ensure_corpus
+
+    ensure_corpus()
+    spark = get_spark(
+        app=f"profile-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    sc = spark.sparkContext
+    pages = spark.read.parquet(f"{CORPUS_DIR}/pages.parquet")
+    cfg = DedupConfig()
+
+    phases: dict[str, float] = {}
+    last_end = [time.time()]
+
+    def phase(name, fn):
+        t0 = time.time()
+        gap = round(t0 - last_end[0], 2)
+        out = fn()
+        t1 = time.time()
+        last_end[0] = t1
+        phases[name] = round(t1 - t0, 2)
+        print(f"phase {name}: {phases[name]}s (gap {gap}s) -> {out}", file=sys.stderr)
+        return out
+
+    t_all = time.time()
+    target_parts = sc.defaultParallelism * 2
+    if pages.rdd.getNumPartitions() < target_parts // 2:
+        pages = pages.repartition(target_parts)
+
+    docs = compute_docs(
+        pages, cfg, hash_partitions=target_parts, rep_gate=cfg.exact_first
+    ).persist()
+    phase("docs_signatures", docs.count)
+
+    # replicate build_pairs legs one by one (same code path, same config)
+    matchable = docs.filter(F.col("n_tokens") > 0)
+    exact = (
+        matchable.filter(F.col("id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_lo"),
+            F.col("id").alias("id_hi"),
+            F.lit(0).alias("distance"),
+        )
+    )
+    matchable2 = matchable.filter(F.col("id") == F.col("rep_id")).drop("rep_id").persist()
+    phase("exact_star_edges", exact.count)
+    phase("matchable_reps", matchable2.count)
+
+    shingled = matchable2.select("id", "shingle_hashes").filter(
+        F.col("shingle_hashes").isNotNull()
+    )
+    sim = banded_self_join(
+        matchable2, "id", "simhash", cfg.simhash_radius,
+        n_bands=cfg.simhash_bands, blacklist=cfg.blacklist,
+        hot_threshold=cfg.hot_band_threshold, salt=cfg.hot_band_salt,
+    )
+    phase("simhash_banded", sim.count)
+
+    mh_cand = minhash_candidate_pairs(
+        matchable2, "id", "minhash",
+        n_bands=cfg.minhash_bands,
+        rows_per_band=cfg.minhash_k // cfg.minhash_bands,
+        hot_threshold=cfg.hot_band_threshold,
+    ).persist()
+    phase("minhash_candidates", mh_cand.count)
+
+    jac = jaccard_verify_pairs(
+        mh_cand.select("id_lo", "id_hi"), shingled,
+        threshold=cfg.jaccard_verify_threshold,
+    )
+    phase("jaccard_verify", jac.count)
+
+    cont = containment_pairs(
+        matchable2, "id", "text", cfg.k_shingle, shingle_col="shingle_hashes"
+    )
+    phase("containment", cont.count)
+
+    # full build_pairs (reuses cached docs; includes union + precedence dedup)
+    pairs = build_pairs(docs, cfg).persist()
+    phase("build_pairs_full", pairs.count)
+
+    clusters = assign_clusters(
+        docs,
+        pairs.filter(F.col("kind").isin(["exact", "simhash", "containment", "jaccard"])),
+    ).join(docs.select("id", "url"), "id")
+    phase("clusters", clusters.count)
+    total = time.time() - t_all
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "rows": N_ROWS, "total": round(total, 1),
+                      "phases": phases}))
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 32)

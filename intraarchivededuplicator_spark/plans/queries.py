@@ -185,7 +185,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from ..operators.setsim import jaccard_self_join
 
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
+        "doc_id", char_ngrams("text", 3).alias("grams")
     )
     return jaccard_self_join(d, "doc_id", "grams", 0.8).select(
         "id_lo", "id_hi", "n_shared", "jaccard"

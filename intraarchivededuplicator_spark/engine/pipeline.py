@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.columns import tokens
 from ..functions.textprep import with_extracted_text
-from ..functions.udfs import make_minhash_udf, make_shingle_hashes_udf, simhash64_udf
+from ..functions.udfs import make_minhash_shingles_udf, simhash64_udf
 from ..operators.banded_join import banded_self_join
 from ..operators.cluster import assign_clusters
 from ..operators.containment import containment_pairs
@@ -60,30 +60,35 @@ def compute_docs(
 
     rep_gate: adds a rep_id column (min id per text_hash group, shuffle-free
     under hash_partitions) and runs the signature UDFs ONLY on each group's
-    representative row, then window-propagates the result to the members
-    (first ignorenulls over the same text_hash partitioning — also
-    shuffle-free). Per-doc signature semantics are preserved (identical text
-    => identical signature), but an m-member exact group (error pages,
-    mirrored templates) costs one signature computation instead of m, and a
-    mega-group of identical pages that hash-colocates into one partition
-    contributes ~one row of UDF work, not a skewed partition of it.
+    representative row — members carry null signatures and resolve them via
+    rep_id. An m-member exact group (error pages, mirrored templates) costs
+    one signature computation instead of m, and a mega-group of identical
+    pages that hash-colocates into one partition contributes ~one row of UDF
+    work, not a skewed partition of it. (Window-propagating the rep's
+    signatures to members was measured and rejected: ArrowEvalPython does not
+    preserve the child's output partitioning, so the post-UDF window forces a
+    full-row exchange of text + signature arrays — the exact shuffle this
+    mode exists to avoid.)
     """
     df = with_extracted_text(pages) if extract else pages
     df = with_text_hash(df)
     if hash_partitions:
         df = df.repartition(hash_partitions, "text_hash")
     df = df.withColumn("id", F.xxhash64("url"))
-    minhash_udf = make_minhash_udf(cfg.k_shingle, cfg.minhash_params)
-    shingle_udf = make_shingle_hashes_udf(cfg.k_shingle)
+    mh_sh_udf = make_minhash_shingles_udf(cfg.k_shingle, cfg.minhash_params)
     sig_text = F.col("text")
     rep_cols = []
-    prop = lambda c: c  # noqa: E731
+    simhash_col = simhash64_udf(sig_text)
     if rep_gate:
         grp = Window.partitionBy("text_hash")
         df = df.withColumn("rep_id", F.min("id").over(grp))
-        sig_text = F.when(F.col("id") == F.col("rep_id"), F.col("text"))
-        prop = lambda c: F.first(c, ignorenulls=True).over(grp)  # noqa: E731
+        is_rep = F.col("id") == F.col("rep_id")
+        sig_text = F.when(is_rep, F.col("text"))
+        # null (not degenerate 0) for non-reps so NOT NULL signature gates
+        # and the hot-band registry skip them outright
+        simhash_col = F.when(is_rep, simhash64_udf(sig_text))
         rep_cols = [F.col("rep_id")]
+    sig = mh_sh_udf(sig_text)  # one expression: evaluated once per row
     return df.select(
         F.col("id"),
         F.col("url"),
@@ -91,9 +96,9 @@ def compute_docs(
         F.col("text"),
         F.col("text_hash"),
         *rep_cols,
-        prop(simhash64_udf(sig_text)).alias("simhash"),
-        prop(minhash_udf(sig_text)).alias("minhash"),
-        prop(shingle_udf(sig_text)).alias("shingle_hashes"),
+        simhash_col.alias("simhash"),
+        sig["minhash"].alias("minhash"),
+        sig["shingle_hashes"].alias("shingle_hashes"),
         F.size(tokens(F.col("text"))).alias("n_tokens"),
         *([F.col("lang")] if "lang" in df.columns else []),
         *([F.col("warc_ts")] if "warc_ts" in df.columns else []),

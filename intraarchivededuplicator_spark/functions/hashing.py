@@ -191,11 +191,17 @@ def minhash_sig(text: str, k_shingle: int, params: MinHashParams) -> list[int] |
 def simhash64_batch(texts, shingle_k: int = SIMHASH_SHINGLE_K) -> np.ndarray:
     """Vectorized batch SimHash with a per-batch feature-hash memo.
 
-    Used by the pandas UDF; matches simhash64() exactly. Bit unpacking is
-    numpy-vectorized; md5 per *unique* shingle is memoized across the batch
-    (zipfian web text repeats shingles heavily within near-dup clusters).
+    Used by the pandas UDF; matches simhash64() exactly. md5 per *unique*
+    shingle is memoized across the batch (zipfian web text repeats shingles
+    heavily within near-dup clusters), feature bit rows live in one growing
+    matrix, and the per-document accumulation is a single matmul
+    counts @ bits instead of a Python loop over shingles:
+        acc_j = sum_t c_t (2 b_tj - 1) = 2 (c @ B)_j - sum(c)
     """
-    memo: dict[str, np.ndarray] = {}
+    from collections import Counter
+
+    memo_idx: dict[str, int] = {}
+    rows: list[np.ndarray] = []
     out = np.zeros(len(texts), dtype=np.int64)
     weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
     for i, text in enumerate(texts):
@@ -203,20 +209,24 @@ def simhash64_batch(texts, shingle_k: int = SIMHASH_SHINGLE_K) -> np.ndarray:
         if not feats:
             out[i] = 0
             continue
-        counts: dict[str, int] = {}
-        for t in feats:
-            counts[t] = counts.get(t, 0) + 1
-        acc = np.zeros(64, dtype=np.int64)
-        for t, c in counts.items():
-            bits = memo.get(t)
-            if bits is None:
+        counts = Counter(feats)
+        idxs = np.empty(len(counts), dtype=np.int64)
+        for j, t in enumerate(counts):
+            ix = memo_idx.get(t)
+            if ix is None:
                 d = hashlib.md5(t.encode("utf-8")).digest()
                 h = int.from_bytes(d[:8], "big")
                 bits = np.unpackbits(
-                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
+                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
+                    bitorder="little",
                 ).astype(np.int64)
-                memo[t] = bits
-            acc += (2 * bits - 1) * c
+                ix = len(rows)
+                memo_idx[t] = ix
+                rows.append(bits)
+            idxs[j] = ix
+        B = np.stack([rows[ix] for ix in idxs])
+        c = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        acc = 2 * (c @ B) - c.sum()
         pos = acc > 0
         # signed value = sum of low-63 bit weights, minus 2^63 if bit 63 set
         u = int(np.sum(weights[pos[:63]], dtype=np.uint64))
@@ -224,3 +234,28 @@ def simhash64_batch(texts, shingle_k: int = SIMHASH_SHINGLE_K) -> np.ndarray:
             u -= 1 << 63
         out[i] = u
     return out
+
+
+def shingle_hash_set(
+    text, k_shingle: int, memo: dict[str, int] | None = None
+) -> np.ndarray | None:
+    """Sorted distinct shingle_hash32 values of a text; None if no shingles.
+
+    Shared kernel for the MinHash + shingle-set signature pass (both consume
+    exactly this set; computing it once halves the tokenize/md5 work).
+    """
+    toks = tokenize(text) if isinstance(text, str) else []
+    sh = shingles(toks, k_shingle)
+    if not sh:
+        return None
+    if memo is None:
+        vals = {shingle_hash32(s) for s in sh}
+    else:
+        vals = set()
+        for s in sh:
+            h = memo.get(s)
+            if h is None:
+                h = shingle_hash32(s)
+                memo[s] = h
+            vals.add(h)
+    return np.array(sorted(vals), dtype=np.int64)

@@ -99,7 +99,11 @@ def test_near_dups_clustered(spark, corpus, result):
     _, truth, _ = corpus
     docs = result["docs"]
     cl = {r["url"]: r["cluster_id"] for r in result["clusters"].collect()}
-    sigs = {r["url"]: r["simhash"] for r in docs.select("url", "simhash").collect()}
+    # under exact_first, signatures live on each text_hash group's
+    # representative row; members resolve via rep_id
+    rows = docs.select("id", "url", "rep_id", "simhash").collect()
+    by_id = {r["id"]: r["simhash"] for r in rows}
+    sigs = {r["url"]: by_id[r["rep_id"]] for r in rows}
     from intraarchivededuplicator_spark.functions.hashing import hamming64
 
     nd = truth.filter(F.col("dup_class") == "near_dup").collect()

@@ -61,8 +61,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q.q_doc_fingerprint,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
-        "embedding_knn_ann": q.q_embedding_knn_ann,  # scale path, no SQL oracle
+        "embedding_knn_ann": q.q_embedding_knn_ann,
         "embedding_near_pairs": q.q_embedding_near_pairs,
+        "embedding_near_pairs_ann": q.q_embedding_near_pairs_ann,
+        # masks + prefix scan (P3/P5)
+        "source_prefix_scan": q.q_source_prefix_scan,
+        "masked_match_candidates": q.q_masked_match_candidates,
         # container-shaped coverage (A5/J2/A9/J11)
         "site_doc_groups": q.q_site_doc_groups,
         "minhash_pairs_cross_source": q.q_minhash_pairs_cross_source,
@@ -72,12 +76,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
         "orders_by_priority_month": q.q_orders_by_priority_month,
+        "nation_revenue": q.q_nation_revenue,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from intraarchivededuplicator_spark.plans import oracle as o
+    from intraarchivededuplicator_spark.plans import queries as q
     from intraarchivededuplicator_spark.plans.queries import (
+        EMB_DIM,
         EMB_SCALE,
         K_SHINGLE,
         LANG_MARKERS,
@@ -107,7 +114,19 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic": o.sql_langid_heuristic(LANG_MARKERS),
         "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
+        "embedding_knn_ann": o.sql_embedding_knn_ann(
+            EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8
+        ),
         "embedding_near_pairs": o.sql_embedding_near_pairs(EMB_SCALE, 0.4),
+        "embedding_near_pairs_ann": o.sql_embedding_near_pairs_ann(
+            EMB_DIM, EMB_SCALE, threshold=0.4, hamming_radius=28, n_bands=8
+        ),
+        "source_prefix_scan": o.sql_source_prefix_scan("src1", K_SHINGLE),
+        "masked_match_candidates": o.sql_masked_match_candidates(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4,
+            positive=q.MASK_POSITIVE, negative=q.MASK_NEGATIVE,
+            keywords=q.MASK_KEYWORDS,
+        ),
         "site_doc_groups": o.sql_site_doc_groups(),
         "minhash_pairs_cross_source": o.sql_minhash_pairs_cross_source(
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
@@ -117,4 +136,5 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),
+        "nation_revenue": o.sql_nation_revenue(),
     }

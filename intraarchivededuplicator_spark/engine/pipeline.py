@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.columns import tokens
 from ..functions.textprep import with_extracted_text
-from ..functions.udfs import make_minhash_shingles_udf, simhash64_udf
+from ..functions.udfs import make_fast_signatures_udf
 from ..operators.banded_join import banded_self_join
 from ..operators.cluster import assign_clusters
 from ..operators.containment import containment_pairs
@@ -75,20 +75,21 @@ def compute_docs(
     if hash_partitions:
         df = df.repartition(hash_partitions, "text_hash")
     df = df.withColumn("id", F.xxhash64("url"))
-    mh_sh_udf = make_minhash_shingles_udf(cfg.k_shingle, cfg.minhash_params)
+    sig_udf = make_fast_signatures_udf(cfg.k_shingle, cfg.minhash_params)
     sig_text = F.col("text")
     rep_cols = []
-    simhash_col = simhash64_udf(sig_text)
     if rep_gate:
         grp = Window.partitionBy("text_hash")
         df = df.withColumn("rep_id", F.min("id").over(grp))
         is_rep = F.col("id") == F.col("rep_id")
         sig_text = F.when(is_rep, F.col("text"))
+        rep_cols = [F.col("rep_id")]
+    sig = sig_udf(sig_text)  # one expression: evaluated once per row
+    simhash_col = sig["simhash"]
+    if rep_gate:
         # null (not degenerate 0) for non-reps so NOT NULL signature gates
         # and the hot-band registry skip them outright
-        simhash_col = F.when(is_rep, simhash64_udf(sig_text))
-        rep_cols = [F.col("rep_id")]
-    sig = mh_sh_udf(sig_text)  # one expression: evaluated once per row
+        simhash_col = F.when(is_rep, simhash_col)
     return df.select(
         F.col("id"),
         F.col("url"),

@@ -120,6 +120,38 @@ def best_matching_site(
     )
 
 
+def apply_candidate_masks(
+    df: DataFrame,
+    col: str,
+    positive_prefixes: list[str] | None = None,
+    negative_prefixes: list[str] | None = None,
+    negative_keywords: list[str] | None = None,
+) -> DataFrame:
+    """P5 path/keyword masks over a candidate container column.
+
+    Reference semantics (/root/reference/deduplicator/ProcessArchive.py:328-335,
+    :433-440): drop candidates under any negative prefix; if positive
+    prefixes are given, keep only candidates under one of them; drop
+    candidates containing any negative keyword. Masks are literal predicates
+    (startswith/contains), so Catalyst folds them into the scan — prefix
+    filters reach parquet as PushedFilters (StringStartsWith), the P3 prefix
+    index analog.
+    """
+    c = F.col(col)
+    if negative_prefixes:
+        for p in negative_prefixes:
+            df = df.filter(~c.startswith(p))
+    if positive_prefixes:
+        keep = F.lit(False)
+        for p in positive_prefixes:
+            keep = keep | c.startswith(p)
+        df = df.filter(keep)
+    if negative_keywords:
+        for kw in negative_keywords:
+            df = df.filter(~c.contains(kw))
+    return df
+
+
 def site_uniqueness(
     pairs: DataFrame, docs: DataFrame, kinds: tuple[str, ...] = ("exact",)
 ) -> DataFrame:

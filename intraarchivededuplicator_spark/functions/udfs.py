@@ -109,6 +109,34 @@ def make_shingle_hashes_udf(k_shingle: int):
     return shingle_hashes_udf
 
 
+def make_fast_signatures_udf(k_shingle: int, params: MinHashParams):
+    """text -> struct(simhash long, minhash array<long>, shingle_hashes
+    array<long>) via the string-free vectorized kernel
+    (hashing.signatures_batch) — the pipeline's scale path. One Arrow
+    transfer of the text, one tokenize, numpy everywhere else.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    from .hashing import signatures_batch
+
+    schema = StructType(
+        [
+            StructField("simhash", LongType()),
+            StructField("minhash", ArrayType(LongType())),
+            StructField("shingle_hashes", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def fast_sig_udf(texts: pd.Series) -> pd.DataFrame:
+        sim, mh, sh = signatures_batch(texts.tolist(), k_shingle, params)
+        return pd.DataFrame(
+            {"simhash": sim, "minhash": mh, "shingle_hashes": sh}
+        )
+
+    return fast_sig_udf
+
+
 def make_minhash_shingles_udf(k_shingle: int, params: MinHashParams):
     """text -> struct(minhash array<long>, shingle_hashes array<long>).
 

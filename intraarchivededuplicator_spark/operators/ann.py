@@ -26,14 +26,33 @@ from pyspark.sql.window import Window
 from .banded_join import banded_self_join
 
 
+INT_SCALE = 1_000_000  # fixed-point scale shared with the SQL oracle
+
+
+def hyperplanes_int(dim: int, n_planes: int = 64, seed: int = 42) -> np.ndarray:
+    """Seeded hyperplane matrix, fixed-point int64 (round(h * INT_SCALE)).
+
+    Integer plane coefficients + integer-scaled vectors make the sign test
+    EXACT arithmetic: the signature is bit-identical across executors, runs,
+    engines (the DuckDB oracle embeds the same constants), and float
+    summation orders — a float dot near zero could otherwise flip a bit
+    between numpy's pairwise and SQL's sequential summation.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return np.round(planes * INT_SCALE).astype(np.int64)
+
+
 def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
     """vector -> signed int64 hyperplane signature (bit i = sign(v . h_i)).
 
     Planes are derived from a seeded PRNG so every executor materializes the
-    identical matrix — no broadcast needed, deterministic across runs.
+    identical matrix — no broadcast needed, deterministic across runs. The
+    dot products are exact int64 fixed-point (see hyperplanes_int); the
+    input vector is scaled by INT_SCALE and rounded half-away-from-zero to
+    match SQL round() semantics (numpy rounds half-to-even).
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    planes = hyperplanes_int(dim, n_planes, seed)
     weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
 
     @F.pandas_udf(LongType())
@@ -43,7 +62,9 @@ def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
             if v is None or len(v) != dim:
                 out[i] = 0
             else:
-                bits = (planes @ np.asarray(v, dtype=np.float64)) >= 0
+                x = np.asarray(v, dtype=np.float64) * INT_SCALE
+                xi = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+                bits = (planes @ xi) >= 0
                 out[i] = np.int64(
                     np.uint64((bits.astype(np.uint64) * weights).sum())
                 )
@@ -52,15 +73,31 @@ def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
     return hyperplane_sig
 
 
+def scaled_vec(col):
+    """array<float/double> -> array<long>, fixed-point INT_SCALE.
+
+    Cast to double BEFORE scaling so both engines round identical doubles;
+    integer dots are then order-independent (exact) in every engine.
+    """
+    return F.transform(
+        col,
+        lambda x: F.round(x.cast("double") * F.lit(float(INT_SCALE))).cast("long"),
+    )
+
+
 def _dot(a, b):
+    # double accumulation: for INT_SCALE-scaled int vectors every partial sum
+    # is an integer < 2^53 (dim<=128, |v|<=~2^20 scaled), so the float adds
+    # are EXACT and order-independent; raw double vectors also work (tests).
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
 def cosine(a, b):
+    """Order-independent on scaled-int vectors; see _dot."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
@@ -82,11 +119,12 @@ def ann_topk(
     directions are re-expanded before ranking so every id gets a list.
     """
     if dim is None:
+        # driver round-trip; callers on big tables should pass dim explicitly
         dim = len(emb.select(vec_col).first()[0])
     sig_udf = make_hyperplane_udf(dim, seed=seed)
     sigged = emb.select(
         F.col(id_col).alias("_aid"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
+        scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
     )
     cand = banded_self_join(
@@ -122,4 +160,55 @@ def ann_topk(
             F.col("rank").cast("int").alias("rank"),
             "cosine",
         )
+    )
+
+
+def ann_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    hamming_radius: int = 28,
+    n_bands: int = 8,
+    seed: int = 42,
+    hot_threshold: int | None = 10_000,
+) -> DataFrame:
+    """(id_lo, id_hi, cosine) with cosine >= threshold — the ANN-routed scale
+    path for embedding near-duplicate pairs (the O(n^2) cross join in
+    plans/queries.q_embedding_near_pairs stays as the small-scale oracle).
+
+    Candidates come from the banded hyperplane-LSH self-join; survivors get
+    an exact integer-scaled cosine. Recall is probabilistic in the LSH stage
+    (measured vs the brute-force twin in tests); precision is exact.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sig_udf = make_hyperplane_udf(dim, seed=seed)
+    sigged = emb.select(
+        F.col(id_col).alias("_aid"),
+        scaled_vec(F.col(vec_col)).alias("_vec"),
+        sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
+    )
+    cand = banded_self_join(
+        sigged,
+        "_aid",
+        "_sig",
+        radius=hamming_radius,
+        n_bands=n_bands,
+        hot_threshold=hot_threshold,
+        require_full_recall=False,
+    )
+    a = sigged.select(F.col("_aid").alias("id_lo"), F.col("_vec").alias("_va"))
+    b = sigged.select(F.col("_aid").alias("id_hi"), F.col("_vec").alias("_vb"))
+    return (
+        cand.select("id_lo", "id_hi")
+        .join(a, "id_lo")
+        .join(b, "id_hi")
+        .select(
+            "id_lo",
+            "id_hi",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

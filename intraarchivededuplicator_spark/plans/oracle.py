@@ -330,16 +330,19 @@ FROM t"""
 
 
 def sql_token_stats_bpe() -> str:
-    return """
+    from ..functions.bpe import sql_bpe_encode
+
+    return f"""
 WITH t AS (
     SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
     FROM documents
 ),
 ex AS (SELECT doc_id, unnest(tl) AS tok FROM t),
+enc AS (SELECT doc_id, {sql_bpe_encode('tok')} AS e FROM ex),
 sub AS (
     SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           sum((length(tok) + 3) // 4)::BIGINT AS n_subwords
-    FROM ex GROUP BY doc_id
+           sum(len(string_split(e, chr(1))) - 1)::BIGINT AS n_subwords
+    FROM enc GROUP BY doc_id
 )
 SELECT t.doc_id, coalesce(sub.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(sub.n_subwords, 0)::BIGINT AS n_subwords
@@ -438,6 +441,175 @@ FROM dots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_i
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
+def _cte_hyperplane_lsh(
+    dim: int,
+    scale: int,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """CTEs ending in `hpairs(id_lo, id_hi)`: the banded hyperplane-LSH
+    candidate pairs, recomputed exactly — the plane matrix is the same seeded
+    fixed-point int64 constants the engine uses (operators/ann.hyperplanes_int),
+    so signatures are bit-identical across engines."""
+    from ..operators.ann import hyperplanes_int
+
+    planes = hyperplanes_int(dim, n_planes, seed)
+    vals = ", ".join(
+        f"({p}, {j + 1}, {int(planes[p, j])}::BIGINT)"
+        for p in range(n_planes)
+        for j in range(dim)
+    )
+    bw = n_planes // n_bands
+    return f"""
+ev AS (
+    SELECT vec_id, i, round(embedding[i]::DOUBLE * {scale})::BIGINT AS v
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS r(i)
+),
+norms AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM ev GROUP BY vec_id),
+planes (p, j, c) AS (VALUES {vals}),
+pdots AS (
+    SELECT vec_id, p, sum(v * c)::BIGINT AS d
+    FROM ev JOIN planes ON ev.i = planes.j GROUP BY vec_id, p
+),
+sigs AS (
+    SELECT vec_id,
+           sum(CASE WHEN d >= 0 THEN
+                 CASE WHEN p = 63 THEN {INT64_MIN_SQL} ELSE (1::BIGINT << p) END
+               ELSE 0 END)::BIGINT AS sig
+    FROM pdots GROUP BY vec_id
+),
+bands AS (
+    -- arithmetic >> then & mask == logical band extraction (mask kills the
+    -- sign-extension bits); mirrors columns.band_key
+    SELECT vec_id, b.b AS band_id, (sig >> (b.b * {bw})) & {(1 << bw) - 1} AS band_key
+    FROM sigs, unnest(generate_series(0, {n_bands - 1})) AS b(b)
+)"""
+
+
+def sql_embedding_knn_ann(
+    dim: int,
+    scale: int,
+    k: int = 3,
+    hamming_radius: int = 28,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for the full ANN plan: hyperplane signatures -> banded
+    candidates -> Hamming radius -> exact scaled-cosine top-k. Candidacy is
+    part of the spec (a pair sharing no band is correctly absent), so the
+    check is hash-exact, not recall-statistical."""
+    return f"""
+WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)},
+cand AS (
+    SELECT a.vec_id AS id_lo, b.vec_id AS id_hi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+hpairs AS (
+    SELECT id_lo, id_hi FROM cand
+    JOIN sigs sa ON sa.vec_id = cand.id_lo
+    JOIN sigs sb ON sb.vec_id = cand.id_hi
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {hamming_radius}
+),
+expanded AS (
+    SELECT id_lo AS qid, id_hi AS nid FROM hpairs
+    UNION ALL SELECT id_hi, id_lo FROM hpairs
+),
+cdots AS (
+    SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
+    FROM expanded q
+    JOIN ev a ON a.vec_id = q.qid
+    JOIN ev b ON b.vec_id = q.nid AND b.i = a.i
+    GROUP BY q.qid, q.nid
+),
+scored AS (
+    SELECT d.qid, d.nid,
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+    FROM cdots d JOIN norms x ON d.qid = x.vec_id JOIN norms y ON d.nid = y.vec_id
+),
+ranked AS (
+    SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS vec_id, nid AS neighbor_id, rank::INT AS rank, cosine
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_embedding_near_pairs_ann(
+    dim: int,
+    scale: int,
+    threshold: float,
+    hamming_radius: int = 28,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for the ANN-routed near-pairs scale path (operators/ann.ann_near_pairs)."""
+    return f"""
+WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)},
+cand AS (
+    SELECT a.vec_id AS id_lo, b.vec_id AS id_hi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+hpairs AS (
+    SELECT id_lo, id_hi FROM cand
+    JOIN sigs sa ON sa.vec_id = cand.id_lo
+    JOIN sigs sb ON sb.vec_id = cand.id_hi
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {hamming_radius}
+),
+cdots AS (
+    SELECT q.id_lo, q.id_hi, sum(a.v * b.v)::BIGINT AS dot
+    FROM hpairs q
+    JOIN ev a ON a.vec_id = q.id_lo
+    JOIN ev b ON b.vec_id = q.id_hi AND b.i = a.i
+    GROUP BY q.id_lo, q.id_hi
+)
+SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
+WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
+
+
+def sql_source_prefix_scan(prefix: str, k_shingle: int) -> str:
+    return f"""
+SELECT doc_id, source, md5(text) AS text_hash
+FROM documents
+WHERE source LIKE '{prefix}%'
+  AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= {k_shingle}"""
+
+
+def sql_masked_match_candidates(
+    params: MinHashParams,
+    k_shingle: int,
+    n_bands: int,
+    rows_per_band: int,
+    positive: list[str],
+    negative: list[str],
+    keywords: list[str],
+) -> str:
+    base = sql_minhash_band_pairs(params, k_shingle, n_bands, rows_per_band)
+    pos = " OR ".join(f"c_source LIKE '{p}%'" for p in positive) or "TRUE"
+    neg = " AND ".join(f"c_source NOT LIKE '{p}%'" for p in negative) or "TRUE"
+    kw = " AND ".join(f"NOT contains(c_source, '{k}')" for k in keywords) or "TRUE"
+    return f"""
+WITH pairs AS ({base}),
+sym AS (
+    SELECT id_lo AS q_id, id_hi AS c_id FROM pairs
+    UNION ALL SELECT id_hi, id_lo FROM pairs
+),
+j AS (
+    SELECT s.q_id, s.c_id, a.source AS q_source, b.source AS c_source
+    FROM sym s JOIN documents a ON a.doc_id = s.q_id
+               JOIN documents b ON b.doc_id = s.c_id
+    WHERE a.source <> b.source
+)
+SELECT q_id, c_id, q_source, c_source FROM j
+WHERE ({pos}) AND {neg} AND {kw}"""
+
+
 def sql_user_sessions(gap_sec: int = 1800) -> str:
     return f"""
 WITH w AS (
@@ -450,6 +622,21 @@ SELECT user_id,
            AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM w GROUP BY user_id"""
+
+
+def sql_nation_revenue() -> str:
+    return """
+SELECT n_name, year(o_orderdate)::INT AS year,
+       count(*)::BIGINT AS n_items,
+       count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+       round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, year"""
 
 
 def sql_orders_by_priority_month() -> str:

@@ -220,17 +220,21 @@ def q_doc_stats(spark, sf_dir):
 
 
 def q_token_stats_bpe(spark, sf_dir):
-    """Token counting incl. a BPE-ish subword estimate: ceil(len/4) per token."""
+    """Token + subword counting with REAL byte-pair encoding: a fixed ordered
+    merge table applied exactly like BPE inference, executed as a JVM-side
+    literal-replace chain per token (functions/bpe.py; no UDF, stays in
+    codegen). The DuckDB oracle runs the identical merge chain."""
+    from ..functions.bpe import bpe_subword_count_col
+
     d = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    return d.select(
-        "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.aggregate(
-            t,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
-        ).alias("n_subwords"),
+    ex = d.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.coalesce(
+            F.sum(bpe_subword_count_col(F.col("tok"))), F.lit(0)
+        ).cast("long").alias("n_subwords"),
     )
 
 
@@ -330,15 +334,30 @@ def q_embedding_knn(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # testdata embeddings dimension (all scale factors)
+
+
 def q_embedding_knn_ann(spark, sf_dir):
     """Scale-path ANN top-3: hyperplane-LSH signatures -> banded Hamming
-    candidates -> exact cosine re-rank (operators/ann.py). Probabilistic
-    recall vs q_embedding_knn (measured >= 0.9 in tests); no SQL oracle —
-    the driver records the weaker rows-only check."""
+    candidates -> exact integer-scaled cosine re-rank (operators/ann.py).
+    Fully oracle-checked: the DuckDB twin recomputes the identical seeded
+    fixed-point plane matrix, band keys, and radius filter, so candidacy
+    itself is part of the differential spec."""
     from ..operators.ann import ann_topk
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ann_topk(e, k=3, hamming_radius=28, n_bands=8)
+    return ann_topk(e, k=3, dim=EMB_DIM, hamming_radius=28, n_bands=8)
+
+
+def q_embedding_near_pairs_ann(spark, sf_dir):
+    """ANN-routed near-pairs (cosine >= 0.4): the scale path twin of the
+    O(n^2) q_embedding_near_pairs, which stays as the exactness oracle."""
+    from ..operators.ann import ann_near_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_near_pairs(
+        e, threshold=0.4, dim=EMB_DIM, hamming_radius=28, n_bands=8
+    )
 
 
 def q_embedding_near_pairs(spark, sf_dir):
@@ -419,6 +438,55 @@ def q_deterministic_sample(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+# --- masks + prefix scan (P3/P5) ---------------------------------------------
+
+MASK_POSITIVE = ["src1"]      # keep only candidates under these prefixes
+MASK_NEGATIVE = ["src12"]     # drop candidates under these prefixes
+MASK_KEYWORDS = ["7"]         # drop candidates containing these substrings
+
+
+def q_source_prefix_scan(spark, sf_dir):
+    """P3 prefix scan: docs under a container prefix whose signature exists —
+    the getLikeBasePath access path (/root/reference/dbApi.py:527-541,
+    fspath LIKE base% AND phash IS NOT NULL). The startswith predicate
+    reaches the parquet scan as a StringStartsWith pushed filter; the
+    signature-exists gate is the P4 NOT NULL analog (>= K_SHINGLE tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").startswith("src1"))
+        .filter(F.size(tokens(F.col("text"))) >= K_SHINGLE)
+        .select("doc_id", "source", F.md5("text").alias("text_hash"))
+    )
+
+
+def q_masked_match_candidates(spark, sf_dir):
+    """P5 masks over symmetric match candidates: for each MinHash band match,
+    the candidate side is filtered by positive/negative source prefixes and
+    negative keywords, after self-container exclusion
+    (/root/reference/deduplicator/ProcessArchive.py:328-335)."""
+    from ..engine.report import apply_candidate_masks
+
+    pairs = q_minhash_band_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sym = pairs.select(
+        F.col("id_lo").alias("q_id"), F.col("id_hi").alias("c_id")
+    ).unionByName(
+        pairs.select(F.col("id_hi").alias("q_id"), F.col("id_lo").alias("c_id"))
+    )
+    j = (
+        sym.join(src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source")), "q_id")
+        .join(src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source")), "c_id")
+        .filter(F.col("q_source") != F.col("c_source"))
+    )
+    return apply_candidate_masks(
+        j,
+        "c_source",
+        positive_prefixes=MASK_POSITIVE,
+        negative_prefixes=MASK_NEGATIVE,
+        negative_keywords=MASK_KEYWORDS,
+    ).select("q_id", "c_id", "q_source", "c_source")
+
+
 # --- events (sessionization / windows) -----------------------------------------
 
 def q_user_sessions(spark, sf_dir):
@@ -482,4 +550,31 @@ def q_orders_by_priority_month(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Relational breadth: 4-table star join (lineitem x orders x customer x
+    nation) + per-(nation, year) aggregation. nation is dimension-small and
+    broadcast; revenue is integer-scaled (cents) BEFORE summing so the
+    aggregate is order-independent across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.select("l_orderkey", rev_cents.alias("_rev"), "l_quantity")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.round(F.sum("_rev") / 100.0, 2).alias("revenue"),
+        )
     )

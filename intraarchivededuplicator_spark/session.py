@@ -16,7 +16,16 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    adaptive: bool = False,
 ) -> SparkSession:
+    """adaptive: AQE is OFF by default for this engine. Measured on the
+    flagship pairs plan (~40 exchanges, many independent query stages): AQE's
+    per-stage driver re-planning serialized the stage graph and cost 4x wall
+    (128s vs 33s warm at 160k docs, local[32]). The engine handles skew
+    explicitly (banded salting, hot-key caps, rarest-anchor selection), which
+    is what AQE's skew-join would otherwise cover; static planning is faster
+    AND deterministic. Pass adaptive=True for ad-hoc exploratory sessions.
+    """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     # shuffle/spill dir: prefer RAM-backed tmpfs in the sandbox — the VM's
@@ -25,12 +34,21 @@ def get_spark(
     # real cluster the analog is local NVMe per executor.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-        os.makedirs(local_dir, exist_ok=True)
+        # guard: RAM-backed shuffle only when tmpfs has real headroom
+        # (>= 32 GiB free), so a host smaller than the sandbox keeps
+        # disk-backed spill instead of racing the heap for the same RAM.
+        # SPARK_GRAFT_TMPFS=0/1 overrides the heuristic either way.
+        want = os.environ.get("SPARK_GRAFT_TMPFS")
+        if want is None:
+            st = os.statvfs("/dev/shm")
+            want = "1" if st.f_bavail * st.f_frsize >= 32 << 30 else "0"
+        if want == "1":
+            local_dir = "/dev/shm/spark-local"
+            os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app)
         .master(master)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -89,6 +89,38 @@ class TestAnnTopK:
         recall = len(got & want) / len(want)
         assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
 
+    def test_near_pairs_recall_vs_brute_force(self, spark):
+        """Differential check for the ANN-routed near-pairs scale path (the
+        Test_db_BKTree_Compare.py:30-70 pattern): LSH-bucketed pairs vs the
+        exact O(n^2) threshold join."""
+        from intraarchivededuplicator_spark.operators.ann import ann_near_pairs
+
+        df = spark.createDataFrame(_clustered_vectors())
+        t = 0.9
+        got = {
+            (r["id_lo"], r["id_hi"])
+            for r in ann_near_pairs(
+                df, threshold=t, dim=DIM, hamming_radius=20, n_bands=8
+            ).collect()
+        }
+        a = df.select(F.col("vec_id").alias("id_lo"), F.col("embedding").cast("array<double>").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_hi"), F.col("embedding").cast("array<double>").alias("vb"))
+        exact = (
+            a.join(b, F.col("id_lo") < F.col("id_hi"))
+            .select("id_lo", "id_hi", cosine(F.col("va"), F.col("vb")).alias("c"))
+            .filter(F.col("c") >= t)
+        )
+        want = {(r["id_lo"], r["id_hi"]) for r in exact.collect()}
+        assert want, "fixture must produce in-threshold pairs"
+        assert got <= want or all(
+            # ANN pairs are cosine-verified, so any extras can only come from
+            # float rounding at the threshold boundary — none expected
+            False
+            for _ in got - want
+        )
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"ANN near-pairs recall {recall:.3f} < 0.9"
+
     def test_rank_is_dense_per_query(self, spark):
         df = spark.createDataFrame(_clustered_vectors())
         out = ann_topk(df, k=3, dim=DIM, hamming_radius=20, n_bands=8)

@@ -79,6 +79,17 @@ def measured_run(cpus: int) -> dict:
     truth = spark.read.parquet(f"{CORPUS_DIR}/pages_truth.parquet")
     n_rows = pages.count()
 
+    # JIT warm-up: run the identical pipeline on a 10% sample first so the
+    # measured pass reports steady-state throughput. A fresh JVM spends tens
+    # of seconds C2-compiling the generated whole-stage code, a fixed cost
+    # that lands on whichever run goes first and (on the 4N side) can exceed
+    # the whole compute — the cluster-relevant number is the compiled-code
+    # rate, which is what a long-running job sees.
+    warm = dedup_pipeline(spark, pages.sample(0.1, seed=7), DedupConfig())
+    warm["clusters"].count()
+    warm["docs"].unpersist()
+    warm["pairs"].unpersist()
+
     t0 = time.time()
     out = dedup_pipeline(spark, pages, DedupConfig())
     n_docs = out["docs"].count()

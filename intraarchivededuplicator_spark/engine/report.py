@@ -120,6 +120,65 @@ def best_matching_site(
     )
 
 
+def expand_pairs_to_members(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Re-expand representative-level pairs to member-level pairs.
+
+    Under cfg.exact_first the fuzzy pair legs link each exact-duplicate
+    group's REPRESENTATIVE only (plus star edges inside the group), which
+    preserves cluster connectivity but makes doc-level match counts
+    representative-level (ADVICE r1). This inverse mapping restores the
+    reference's ProcessArchive semantics for report aggregation: a pair
+    (rep_a, rep_b) becomes members(a) x members(b), and an exact star
+    becomes the group clique.
+
+    Cost is the m*n blowup exact_first avoided — by design: run it on the
+    (usually much smaller) pairs table feeding a report, not on the cluster
+    path. Requires docs to carry rep_id (compute_docs(rep_gate=True));
+    passes pairs through unchanged otherwise.
+    """
+    if "rep_id" not in docs.columns:
+        return pairs
+    members = docs.select(
+        F.col("rep_id").alias("_r"), F.col("id").alias("_m")
+    )
+    a = members.select(F.col("_r").alias("id_lo"), F.col("_m").alias("_ma"))
+    b = members.select(F.col("_r").alias("id_hi"), F.col("_m").alias("_mb"))
+    non_exact = (
+        pairs.filter(F.col("kind") != "exact")
+        .join(a, "id_lo")
+        .join(b, "id_hi")
+    )
+    # exact star edges (rep -> member) expand to the full group clique
+    grp = pairs.filter(F.col("kind") == "exact").select(
+        F.col("id_lo").alias("_r")
+    ).distinct()
+    clique = (
+        grp.join(a.withColumnRenamed("id_lo", "_r"), "_r")
+        .join(b.withColumnRenamed("id_hi", "_r"), "_r")
+        .filter(F.col("_ma") < F.col("_mb"))
+        .select("_ma", "_mb")
+        .withColumn("kind", F.lit("exact"))
+        .withColumn("distance", F.lit(0))
+    )
+    expanded = non_exact.select(
+        F.least("_ma", "_mb").alias("id_lo"),
+        F.greatest("_ma", "_mb").alias("id_hi"),
+        "distance",
+        "kind",
+    ).filter(F.col("id_lo") != F.col("id_hi"))
+    return (
+        expanded.unionByName(
+            clique.select(
+                F.col("_ma").alias("id_lo"),
+                F.col("_mb").alias("id_hi"),
+                "distance",
+                "kind",
+            )
+        )
+        .dropDuplicates(["id_lo", "id_hi"])
+    )
+
+
 def apply_candidate_masks(
     df: DataFrame,
     col: str,

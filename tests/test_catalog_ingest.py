@@ -76,6 +76,31 @@ class TestCatalogVerbs:
         with pytest.raises(FileNotFoundError):
             catalog.read("nope")
 
+    def test_append_is_delta_only(self, spark, catalog):
+        """An append commit must write ONLY the new rows' files — prior
+        snapshots' data is re-listed by the manifest, never rewritten
+        (Iceberg file-set semantics; O(delta) per commit)."""
+        import os
+
+        catalog.append(spark.range(1000), "t")
+        tdir = os.path.join(catalog.root, "t")
+        first_files = {
+            os.path.join(d, f): os.path.getmtime(os.path.join(tdir, d, f))
+            for d in os.listdir(tdir)
+            if os.path.isdir(os.path.join(tdir, d))
+            for f in os.listdir(os.path.join(tdir, d))
+        }
+        catalog.append(spark.range(1000, 1005), "t")
+        # every pre-existing file untouched (same mtime, still present)
+        for rel, mtime in first_files.items():
+            assert os.path.getmtime(os.path.join(tdir, rel)) == mtime, rel
+        # exactly one new data dir, listed after the old one in the snapshot
+        snaps = catalog.snapshots("t")
+        assert snaps[-1]["dirs"][: len(snaps[0]["dirs"])] == snaps[0]["dirs"]
+        assert len(snaps[-1]["dirs"]) == len(snaps[0]["dirs"]) + 1
+        assert catalog.read("t").count() == 1005
+        assert snaps[-1]["rows"] == 1005
+
 
 class TestIncrementalIngest:
     def test_first_batch_then_delta_only(self, spark, catalog):

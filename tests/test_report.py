@@ -122,3 +122,46 @@ def test_uniqueness_predicates(spark, frames):
         for r in site_uniqueness(pairs, docs, kinds=("simhash",)).collect()
     }
     assert uniq_sim["d"] is True and uniq_sim["c"] is False
+
+
+def test_expand_pairs_to_members(spark):
+    """exact_first emits rep-level fuzzy pairs + star edges; expansion must
+    restore member-level semantics (ADVICE r1): group cliques for exact,
+    members(a) x members(b) for fuzzy pairs between reps."""
+    from intraarchivededuplicator_spark.engine.report import (
+        expand_pairs_to_members,
+    )
+
+    # group A = {1, 2, 3} (rep 1), group B = {10} (rep 10), group C = {20, 21}
+    docs = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+        "id long, rep_id long",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0, "exact"),    # star edges of group A
+            (1, 3, 0, "exact"),
+            (20, 21, 0, "exact"),  # star edge of group C
+            (1, 10, 3, "simhash"),   # rep-level fuzzy pair A-B
+            (10, 20, None, "jaccard"),  # rep-level fuzzy pair B-C
+        ],
+        "id_lo long, id_hi long, distance int, kind string",
+    )
+    got = {
+        (r["id_lo"], r["id_hi"]): r["kind"]
+        for r in expand_pairs_to_members(pairs, docs).collect()
+    }
+    # exact cliques: A = {1,2,3} -> 3 edges; C = {20,21} -> 1 edge
+    for e in [(1, 2), (1, 3), (2, 3), (20, 21)]:
+        assert got[e] == "exact"
+    # A-B fuzzy expands to every member of A x member of B
+    for e in [(1, 10), (2, 10), (3, 10)]:
+        assert got[e] == "simhash"
+    # B-C fuzzy expands to B x members of C
+    for e in [(10, 20), (10, 21)]:
+        assert got[e] == "jaccard"
+    assert len(got) == 9
+
+    # docs without rep_id: passthrough
+    plain = docs.select("id")
+    assert expand_pairs_to_members(pairs, plain) is pairs

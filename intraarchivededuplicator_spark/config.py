@@ -42,6 +42,10 @@ class DedupConfig:
     # work AND bounds mega-group pair emission. False restores the flat
     # all-pairs table (strict reference pair-table parity).
     exact_first: bool = True
+    # P6 junk gate: blank docs + infrastructure paths + short error-page
+    # boilerplate excluded from the pair legs (functions/junk.py); False
+    # reduces the gate to blank-doc-only
+    junk_filter: bool = True
     # skew handling (reference analogs cited in module docstring)
     hot_band_threshold: int = 500
     hot_band_salt: int = 16

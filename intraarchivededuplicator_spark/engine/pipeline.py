@@ -118,10 +118,16 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
     Connectivity of the cluster graph is unchanged (a star spans exactly the
     clique it replaces) while an m-member exact group emits m-1 edges instead
     of m(m-1)/2 and is hashed/sig-joined once instead of m times."""
-    # junk gate: empty/whitespace-only docs never enter the pair legs — the
-    # P6 junk-file filter analog (/root/reference/deduplicator/ProcessArchive.py:228-262);
-    # without it every blank page md5-matches every other blank page
-    matchable = docs.filter(F.col("n_tokens") > 0)
+    # P6 junk gate: blank pages, infrastructure paths, and short error-page
+    # boilerplate never enter the pair legs
+    # (/root/reference/deduplicator/ProcessArchive.py:228-262 analog);
+    # without it every blank/404 page md5-matches every other one
+    if cfg.junk_filter:
+        from ..functions.junk import is_junk_page
+
+        matchable = docs.filter(~is_junk_page("url", "text", "n_tokens"))
+    else:
+        matchable = docs.filter(F.col("n_tokens") > 0)
     if cfg.exact_first:
         if "rep_id" in docs.columns:
             # rep_id precomputed in compute_docs(rep_gate=True): shuffle-free
@@ -236,6 +242,15 @@ def dedup_pipeline(
     ck = checkpointer or NullCheckpointer()
     ck.config_fingerprint = config_fingerprint(cfg)
 
+    # A10 progress counters, Spark-native: Observation metrics ride the
+    # normal actions as accumulators (the uiFrontend progress-tag analog,
+    # /root/reference/deduplicator/ProcessArchive.py status logging) — no
+    # extra jobs, readable after each stage materializes via
+    # out["observations"][stage].get
+    from pyspark.sql import Observation
+
+    obs = {"docs": Observation("docs"), "pairs": Observation("pairs")}
+
     # a narrow source (one parquet file, one kafka partition) must not
     # serialize the Arrow UDF stages, and raw scan partitions are often
     # SKEWED (size-based splits over rows of very different text lengths) —
@@ -255,6 +270,15 @@ def dedup_pipeline(
             extract=extract,
             hash_partitions=target_parts,
             rep_gate=cfg.exact_first,
+        ).observe(
+            obs["docs"],
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") <= 0, 1).otherwise(0)).alias(
+                "n_blank"
+            ),
+            F.sum(F.when(F.col("simhash").isNotNull(), 1).otherwise(0)).alias(
+                "n_signed"
+            ),
         ),
     )
     if isinstance(ck, NullCheckpointer):
@@ -267,7 +291,17 @@ def dedup_pipeline(
         # (observed at 160k docs even with a 48g heap)
         docs = docs.persist()
         docs.count()
-    pairs = ck.run(spark, "pairs", lambda: build_pairs(docs, cfg))
+    pairs = ck.run(
+        spark,
+        "pairs",
+        lambda: build_pairs(docs, cfg).observe(
+            obs["pairs"],
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("kind") == "exact", 1).otherwise(0)).alias(
+                "n_exact"
+            ),
+        ),
+    )
     if isinstance(ck, NullCheckpointer):
         pairs = pairs.persist()
         pairs.count()
@@ -297,4 +331,5 @@ def dedup_pipeline(
         "pairs": pairs,
         "clusters": clusters,
         "hot_bands": hot_bands,
+        "observations": obs,
     }

@@ -208,3 +208,15 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
         spark, small, DedupConfig(simhash_radius=2), checkpointer=ck3
     )
     assert all(not m["resumed"] for m in ck3.metrics)
+
+
+def test_observation_progress_counters(spark, corpus, result):
+    """A10: pipeline stages expose Observation metrics that rode the normal
+    materializing actions (no extra jobs)."""
+    obs = result["observations"]
+    d = obs["docs"].get
+    p = obs["pairs"].get
+    assert d["n_docs"] == result["docs"].count()
+    assert d["n_signed"] <= d["n_docs"]
+    assert p["n_pairs"] == result["pairs"].count()
+    assert 0 < p["n_exact"] <= p["n_pairs"]

@@ -107,3 +107,36 @@ class TestSuffixArray:
                 assert sa_contains(s, sa, s[i : i + m])
                 probe = bytes(rng.randint(97, 103, size=6).astype(np.uint8))
                 assert sa_contains(s, sa, probe) == (probe in s)
+
+
+class TestJunkAndMime:
+    """P6 junk gate + H7 mime fixup (functions/junk.py)."""
+
+    def test_fix_mime(self, spark):
+        from intraarchivededuplicator_spark.functions.junk import fix_mime
+
+        rows = [
+            ("text/html; charset=UTF-8", "text/html"),
+            ("application/XHTML+xml", "text/html"),
+            ("application/CDFV2-corrupt", "application/cdfv2"),
+            ("IMAGE/PNG", "image/png"),
+        ]
+        df = spark.createDataFrame(rows, "m string, want string")
+        for r in df.select(fix_mime("m").alias("got"), "want").collect():
+            assert r["got"] == r["want"]
+
+    def test_is_junk_page(self, spark):
+        from intraarchivededuplicator_spark.functions.junk import is_junk_page
+
+        rows = [
+            ("http://a/robots.txt", "User-agent: *", 3, True),
+            ("http://a/favicon.ico", "", 0, True),
+            ("http://a/page", "404 Not Found nginx", 4, True),
+            ("http://a/page2", "Error 503 Service Unavailable", 5, True),
+            ("http://a/blank", "   ", 0, True),
+            ("http://a/article", "a long article " * 20 + "mentions 404 not found", 64, False),
+            ("http://a/real", "perfectly normal content here", 4, False),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string, n_tokens int, want boolean")
+        for r in df.select("url", is_junk_page("url", "text", "n_tokens").alias("got"), "want").collect():
+            assert r["got"] == r["want"], r["url"]

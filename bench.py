@@ -29,9 +29,12 @@ HEADLINE = [
     "best_simhash_match",
     "ngram_jaccard_pairs",
     "embedding_knn_ann",
+    "embedding_near_pairs_ann",
     "doc_stats",
+    "token_stats_bpe",
     "langid_heuristic",
     "user_sessions",
+    "nation_revenue",
 ]
 
 

@@ -48,7 +48,35 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 
 def with_extracted_text(
-    pages: DataFrame, html_col: str = "html", out: str = "text"
+    pages: DataFrame,
+    html_col: str = "html",
+    out: str = "text",
+    mime_col: str | None = None,
 ) -> DataFrame:
-    """Adds/overwrites the extracted-text column from raw HTML bytes."""
-    return pages.withColumn(out, extract_text_udf(F.col(html_col)))
+    """Adds/overwrites the extracted-text column from raw payload bytes.
+
+    mime_col enables the S3 content-type dispatch
+    (/root/reference/pArch.py:31-53 iterHashes dispatches per member type):
+    html-family payloads go through boilerplate extraction, text/* payloads
+    decode as UTF-8 verbatim, anything else (binary media — the multimodal
+    module's business) yields empty text. Mime strings are normalized first
+    (functions/junk.fix_mime, the H7 analog), so flaky spellings dispatch
+    consistently. Without mime_col every payload is treated as HTML (the
+    common-crawl default)."""
+    if mime_col is None:
+        return pages.withColumn(out, extract_text_udf(F.col(html_col)))
+    from .junk import fix_mime
+
+    m = fix_mime(F.col(mime_col))
+    return pages.withColumn(
+        out,
+        F.when(
+            m.isin("text/html", "application/html"),
+            extract_text_udf(F.col(html_col)),
+        )
+        .when(
+            m.startswith("text/"),
+            F.decode(F.col(html_col), "UTF-8"),
+        )
+        .otherwise(F.lit("")),
+    )

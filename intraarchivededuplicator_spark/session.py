@@ -61,7 +61,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # Implicit broadcasts OFF: with AQE disabled the static planner
+        # trusts pre-execution size ESTIMATES, and a narrow projection of a
+        # cached table estimates tiny while its exploded/banded expansion
+        # materializes huge — observed: an 8.5 GiB broadcast build (driver
+        # single-threaded, the 640k-doc scaling killer) planned from a 20 MB
+        # estimate. Every join that SHOULD broadcast (dimension tables, hot
+        # band keys, anchor sets, probe sets) carries an explicit
+        # F.broadcast hint, which still works with the threshold at -1.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # a broadcast side may sit atop an expensive subtree (containment's
+        # anchor table aggregates the full exploded shingle set); the default
+        # 300s kills legitimate low-parallelism runs
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

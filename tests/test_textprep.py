@@ -140,3 +140,25 @@ class TestJunkAndMime:
         df = spark.createDataFrame(rows, "url string, text string, n_tokens int, want boolean")
         for r in df.select("url", is_junk_page("url", "text", "n_tokens").alias("got"), "want").collect():
             assert r["got"] == r["want"], r["url"]
+
+    def test_mime_dispatch_in_extraction(self, spark):
+        """S3 content-type dispatch: html -> extraction, text/* -> verbatim
+        decode, binary -> empty (/root/reference/pArch.py:31-53 analog)."""
+        from intraarchivededuplicator_spark.functions.textprep import (
+            with_extracted_text,
+        )
+
+        rows = [
+            ("h", b"<html><body><main>hello world</main></body></html>",
+             "text/html; charset=utf-8"),
+            ("t", b"plain text body", "text/plain"),
+            ("x", b"\x89PNG...", "image/png"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary, mime string")
+        got = {
+            r["url"]: r["text"]
+            for r in with_extracted_text(df, mime_col="mime").collect()
+        }
+        assert got["h"] == "hello world"
+        assert got["t"] == "plain text body"
+        assert got["x"] == ""

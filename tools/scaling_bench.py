@@ -63,6 +63,21 @@ def ensure_corpus() -> None:
     print(f"generated {N_ROWS}-row corpus in {time.time()-t0:.1f}s", file=sys.stderr)
 
 
+def cpu_canary() -> float:
+    """Single-core fixed workload (md5 loop), in seconds — a calibration
+    canary recorded with every measured run. The sandbox VM's host
+    occasionally throttles guest CPU by 2-4x for minutes at a time (observed:
+    the identical Spark stage at 51s and 203s an hour apart); runs whose
+    canaries disagree are not comparable, which is why orchestrate() takes
+    the best of two attempts per parallelism level."""
+    import hashlib
+
+    t0 = time.time()
+    for i in range(400_000):
+        hashlib.md5(b"canary %d" % i).digest()
+    return round(time.time() - t0, 3)
+
+
 def measured_run(cpus: int) -> dict:
     """One full flagship job at local[cpus]: extract -> signatures -> pairs ->
     clusters, all materialized; plus cluster recall vs the injected truth."""
@@ -90,6 +105,7 @@ def measured_run(cpus: int) -> dict:
     warm["docs"].unpersist()
     warm["pairs"].unpersist()
 
+    canary = cpu_canary()
     t0 = time.time()
     out = dedup_pipeline(spark, pages, DedupConfig())
     n_docs = out["docs"].count()
@@ -111,6 +127,7 @@ def measured_run(cpus: int) -> dict:
     return {
         "cpus": cpus,
         "rows": n_rows,
+        "canary_sec": canary,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_rows / wall, 1),
         "n_docs": n_docs,
@@ -122,28 +139,41 @@ def measured_run(cpus: int) -> dict:
     }
 
 
+ATTEMPTS = int(os.environ.get("SCALE_ATTEMPTS", "2"))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALE_LEVELS", "8,32").split(",")
+)
+
+
 def orchestrate() -> None:
     ensure_corpus()
     results = {}
-    for cpus in (8, 32):
-        print(f"running local[{cpus}] ...", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--run", str(cpus)],
-            capture_output=True,
-            text=True,
-            timeout=5400,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-3000:], file=sys.stderr)
-            raise SystemExit(f"local[{cpus}] run failed")
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-        print(json.dumps(results[cpus]), file=sys.stderr)
+    # best-of-N per level, interleaved: the sandbox host throttles guest CPU
+    # episodically (see cpu_canary), and throughput noise is one-sided (only
+    # ever slower), so the fastest attempt is the honest steady-state number
+    for attempt in range(ATTEMPTS):
+        for cpus in LEVELS:
+            print(f"running local[{cpus}] attempt {attempt} ...", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--run", str(cpus)],
+                capture_output=True,
+                text=True,
+                timeout=5400,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-3000:], file=sys.stderr)
+                raise SystemExit(f"local[{cpus}] run failed")
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            print(json.dumps(run), file=sys.stderr)
+            if cpus not in results or run["wall_sec"] < results[cpus]["wall_sec"]:
+                results[cpus] = run
 
-    r8, r32 = results[8], results[32]
+    lo, hi = LEVELS[0], LEVELS[-1]
+    r8, r32 = results[lo], results[hi]
     speedup = r8["wall_sec"] / r32["wall_sec"]
-    efficiency = speedup / (32 / 8)
+    efficiency = speedup / (hi / lo)
     summary = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(efficiency, 4),
         "unit": "fraction",
         "speedup": round(speedup, 3),
@@ -154,31 +184,50 @@ def orchestrate() -> None:
     with open(OUT_JSON, "w") as f:
         json.dump(summary, f, indent=2)
 
+    identical = (
+        r8["n_pairs"] == r32["n_pairs"]
+        and r8["truth_pairs_same_cluster"] == r32["truth_pairs_same_cluster"]
+        and r8["n_clustered"] == r32["n_clustered"]
+    )
+    ident_line = (
+        "- Results are IDENTICAL across parallelism levels (asserted from the "
+        f"two runs: pairs {r8['n_pairs']} == {r32['n_pairs']}, same-cluster "
+        f"truth pairs {r8['truth_pairs_same_cluster']} == "
+        f"{r32['truth_pairs_same_cluster']}): the plan is deterministic under "
+        "repartitioning."
+        if identical
+        else "- WARNING: results DIFFER between parallelism levels — "
+        f"pairs {r8['n_pairs']} vs {r32['n_pairs']}, same-cluster truth pairs "
+        f"{r8['truth_pairs_same_cluster']} vs {r32['truth_pairs_same_cluster']}."
+    )
     with open(OUT_MD, "w") as f:
         f.write(
             f"""# Scaling & throughput baseline (sandbox evidence)
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N executors.
 No real cluster exists in this sandbox; per the survey's stated protocol the
-same flagship job (HTML extract -> md5/SimHash/MinHash signatures -> exact +
-banded-Hamming + containment pairs -> union-find clusters) runs at local[8]
-and local[32] on the identical {N_ROWS}-row seed-pinned corpus, each in a
-fresh JVM.
+same flagship job (HTML extract -> signatures -> exact + banded-Hamming +
+containment + verified-Jaccard pairs -> union-find clusters) runs at
+local[{lo}] and local[{hi}] on the identical {N_ROWS}-row seed-pinned corpus, each in a
+fresh JVM, after a 10%-sample JIT warm-up pass, best of {ATTEMPTS} attempts
+per level (the sandbox host throttles guest CPU episodically; each run
+records a single-core canary so attempts are comparable — see
+tools/scaling_bench.cpu_canary).
 
-| parallelism | wall (s) | docs/sec | pairs | dup-pair recall vs truth |
-|---|---|---|---|---|
-| local[8]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['n_pairs']} | {r8['dup_pair_recall']} |
-| local[32] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['n_pairs']} | {r32['dup_pair_recall']} |
+| parallelism | wall (s) | docs/sec | pairs | canary (s) | dup-pair recall vs truth |
+|---|---|---|---|---|---|
+| local[{lo}]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['n_pairs']} | {r8['canary_sec']} | {r8['dup_pair_recall']} |
+| local[{hi}] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['n_pairs']} | {r32['canary_sec']} | {r32['dup_pair_recall']} |
 
-- **speedup 8->32 cores: {speedup:.2f}x; scaling efficiency = {speedup:.2f}/4 = {efficiency:.3f}**
+- **speedup {lo}->{hi} cores: {speedup:.2f}x; scaling efficiency = {speedup:.2f}/{hi // lo} = {efficiency:.3f}**
   ({'meets' if efficiency >= 0.8 else 'below'} the >= 0.8 bar)
 - dup-pair recall = fraction of ground-truth-linked (url, base_url) pairs
-  assigned the same cluster_id ({r32['truth_pairs_same_cluster']}/{r32['truth_pairs']} at local[32]);
+  assigned the same cluster_id ({r32['truth_pairs_same_cluster']}/{r32['truth_pairs']} at local[{hi}]);
   north-rule bar is >= 0.99.
-- Results are identical across parallelism levels (same pair count, same
-  recall): the plan is deterministic under repartitioning.
+{ident_line}
 
-Regenerate: `python tools/scaling_bench.py` (corpus cached in /tmp).
+Regenerate: `python tools/scaling_bench.py` (corpus cached in /tmp;
+SCALE_ROWS / SCALE_ATTEMPTS env knobs).
 """
         )
     print(json.dumps(summary))

@@ -209,8 +209,12 @@ WHERE substring(md5(doc_id::VARCHAR), 1, 1) = '0'"""
 
 
 def sql_events_hourly_rate() -> str:
+    # hour bucket via epoch arithmetic + strftime on a NAIVE timestamp
+    # (make_timestamp) — TZ-free in any DuckDB session, mirroring the Spark
+    # side's arithmetic bucket (queries.q_events_hourly_rate).
     return """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000),
+                '%Y-%m-%d %H:00:00') AS hour,
        event_type,
        count(*) AS n_events,
        round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value,

@@ -489,14 +489,39 @@ def q_masked_match_candidates(spark, sf_dir):
 
 # --- events (sessionization / windows) -----------------------------------------
 
+def epoch_seconds_tz_free(df: DataFrame, col: str):
+    """Epoch seconds of a parquet timestamp column, invariant to the session's
+    `spark.sql.session.timeZone` AND `spark.sql.parquet.inferTimestampNTZ`
+    settings (the executing session is the driver's, not ours to configure).
+
+    The events parquet stores naive micros (isAdjustedToUTC=false). Two ways a
+    session can surface it:
+      * TIMESTAMP_NTZ (Spark 4 default): wall clock == what DuckDB's naive
+        TIMESTAMP sees. Every component function on NTZ/DATE is TZ-free, so
+        assemble epoch arithmetically (treat wall clock as UTC — exactly
+        DuckDB's epoch()).
+      * TIMESTAMP (inferTimestampNTZ off): the stored micros are read as an
+        instant, so cast-to-long IS naive-as-UTC epoch seconds regardless of
+        session TZ.
+    A `cast("timestamp")` on the NTZ form would instead route through the
+    session TZ — the one red CORRECTNESS cell of rounds 1-2.
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    c = F.col(col)
+    if dtype.startswith("timestamp_ntz"):
+        return (
+            F.unix_date(c.cast("date")).cast("long") * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long")
+        )
+    return c.cast("timestamp").cast("long")
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (30 min) per user — integer-safe windows."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        # NTZ parquet timestamps -> epoch seconds; session tz is pinned UTC
-        # (session.py) so this matches DuckDB's epoch(ts)
-        "es",
-        F.col("ts").cast("timestamp").cast("long"),
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("es", epoch_seconds_tz_free(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = ev.withColumn(
         "new_session",
@@ -514,8 +539,20 @@ def q_events_hourly_rate(spark, sf_dir):
     crawl-rate plan, streaming/ingest_stream.crawl_rate): events per hour and
     type, plus JSON prop extraction (get_json_object ≙ json_extract)."""
     ev = load(spark, sf_dir, "events")
+    # hour bucket + display string from pure epoch/date arithmetic — no
+    # date_trunc/date_format on timestamps, which observe the driver session's
+    # timezone (the cause of the r1/r2 hash mismatch). year/month/dayofmonth
+    # on DATE and integer modulo are TZ-free in every session.
+    hb = F.floor(epoch_seconds_tz_free(ev, "ts") / 3600)
+    d = F.date_add(F.lit("1970-01-01").cast("date"), F.floor(hb / 24).cast("int"))
+    hour_str = F.concat(
+        F.lpad(F.year(d).cast("string"), 4, "0"), F.lit("-"),
+        F.lpad(F.month(d).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(F.dayofmonth(d).cast("string"), 2, "0"), F.lit(" "),
+        F.lpad((hb % 24).cast("string"), 2, "0"), F.lit(":00:00"),
+    )
     return (
-        ev.withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        ev.withColumn("hour", hour_str)
         .groupBy("hour", "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -530,14 +567,7 @@ def q_events_hourly_rate(spark, sf_dir):
                 F.get_json_object("props", "$.k").cast("long")
             ).alias("sum_k"),
         )
-        .select(
-            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "n_users",
-            "sum_k",
-        )
+        .select("hour", "event_type", "n_events", "sum_value", "n_users", "sum_k")
     )
 
 

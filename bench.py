@@ -6,6 +6,14 @@ Prints ONE JSON line:
 
 Each query is forced with a full materialization (count over the final plan),
 so the timing covers scan + UDFs + shuffles + joins end-to-end.
+
+Measurement protocol (same discipline as tools/scaling_bench.py):
+  * each query runs BENCH_ATTEMPTS times (default 2) and reports the best —
+    the first attempt absorbs JIT/whole-stage-codegen compilation, which is a
+    fixed cost a long-running cluster job amortizes to zero;
+  * a single-core CPU canary (fixed md5 loop) is recorded before and after
+    the run — the sandbox host throttles guest CPU 2-4x episodically, and
+    runs whose canaries disagree are not comparable round-over-round.
 """
 
 from __future__ import annotations
@@ -38,9 +46,20 @@ HEADLINE = [
 ]
 
 
+def cpu_canary() -> float:
+    """Fixed single-core workload in seconds (see tools/scaling_bench.py)."""
+    import hashlib
+
+    t0 = time.time()
+    for i in range(400_000):
+        hashlib.md5(b"canary %d" % i).digest()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    attempts = max(1, int(os.environ.get("BENCH_ATTEMPTS", "2")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     import __spark_entry__ as e
@@ -54,21 +73,30 @@ def main() -> None:
     qs = e.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    canary_start = cpu_canary()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            rows[name] = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"bench {name}: {timings[name]}s {rows[name]} rows", file=sys.stderr)
-        except Exception as ex:  # record, don't abort the whole bench
-            timings[name] = -1.0
-            rows[name] = -1
-            print(f"BENCH ERROR {name}: {ex}", file=sys.stderr)
+        best = None
+        for att in range(attempts):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = round(time.time() - t0, 3)
+            except Exception as ex:  # record, don't abort the whole bench
+                print(f"BENCH ERROR {name}: {ex}", file=sys.stderr)
+                n, dt = -1, -1.0
+                if best is None:
+                    best = (dt, n)
+                break
+            if best is None or dt < best[0]:
+                best = (dt, n)
+        timings[name], rows[name] = best[0], best[1]
+        print(f"bench {name}: {timings[name]}s {rows[name]} rows", file=sys.stderr)
 
+    canary_end = cpu_canary()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # docs/sec over the flagship signature+pair+cluster path
     dedup_wall = sum(
@@ -86,6 +114,8 @@ def main() -> None:
         "docs": n_docs,
         "docs_per_sec_dedup": round(n_docs / dedup_wall, 2) if dedup_wall > 0 else None,
         "rows": rows,
+        "attempts": attempts,
+        "canary_sec": {"start": canary_start, "end": canary_end},
     }
     print(json.dumps(out))
     spark.stop()

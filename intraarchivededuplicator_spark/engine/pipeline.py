@@ -324,7 +324,7 @@ def dedup_pipeline(
         "clusters",
         lambda: assign_clusters(
             docs, pairs.filter(F.col("kind").isin(list(cluster_kinds)))
-        ).join(docs.select("id", "url"), "id"),
+        ).join(docs.select("id", "url").hint("shuffle_hash"), "id"),
     )
     return {
         "docs": docs,

@@ -49,7 +49,9 @@ def _doc_pairs_with_sites(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         F.col("site").alias("c_site"),
         F.col("n_tokens").alias("c_tokens"),
     )
-    return sym.join(q, "q_id").join(c, "c_id")
+    # both sides are id-keyed; shuffle_hash skips the sort-merge sorts and is
+    # valid at any scale (the meta side is corpus-sized, never broadcast)
+    return sym.join(q.hint("shuffle_hash"), "q_id").join(c.hint("shuffle_hash"), "c_id")
 
 
 def site_match_counts(

@@ -101,6 +101,17 @@ def cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _prefilter_vecs(vecs: DataFrame, cand: DataFrame, out_id: str) -> DataFrame:
+    """Semi-join reduction for the re-rank joins: the vector table is FAT
+    (scaled int64 arrays) while the candidate-id set is bare longs — broadcast
+    the distinct candidate ids so only vectors that appear in some candidate
+    pair enter the exchange. Candidate volume is capped per band by
+    hot_threshold; at a scale where the distinct-id set outgrows a broadcast
+    the caller should re-rank with plain shuffle joins instead."""
+    ids = cand.select(F.explode(F.array("id_lo", "id_hi")).alias(out_id)).distinct()
+    return vecs.join(F.broadcast(ids), out_id, "left_semi")
+
+
 def ann_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -141,11 +152,15 @@ def ann_topk(
     ).unionByName(
         cand.select(F.col("id_hi").alias("qid"), F.col("id_lo").alias("nid"))
     )
-    q = sigged.select(F.col("_aid").alias("qid"), F.col("_vec").alias("qv"))
-    n = sigged.select(F.col("_aid").alias("nid"), F.col("_vec").alias("nv"))
+    q = _prefilter_vecs(
+        sigged.select(F.col("_aid").alias("qid"), F.col("_vec").alias("qv")), cand, "qid"
+    )
+    n = _prefilter_vecs(
+        sigged.select(F.col("_aid").alias("nid"), F.col("_vec").alias("nv")), cand, "nid"
+    )
     scored = (
-        both.join(q, "qid")
-        .join(n, "nid")
+        both.join(q.hint("shuffle_hash"), "qid")
+        .join(n.hint("shuffle_hash"), "nid")
         .select(
             "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine")
         )
@@ -199,12 +214,16 @@ def ann_near_pairs(
         hot_threshold=hot_threshold,
         require_full_recall=False,
     )
-    a = sigged.select(F.col("_aid").alias("id_lo"), F.col("_vec").alias("_va"))
-    b = sigged.select(F.col("_aid").alias("id_hi"), F.col("_vec").alias("_vb"))
+    a = _prefilter_vecs(
+        sigged.select(F.col("_aid").alias("id_lo"), F.col("_vec").alias("_va")), cand, "id_lo"
+    )
+    b = _prefilter_vecs(
+        sigged.select(F.col("_aid").alias("id_hi"), F.col("_vec").alias("_vb")), cand, "id_hi"
+    )
     return (
         cand.select("id_lo", "id_hi")
-        .join(a, "id_lo")
-        .join(b, "id_hi")
+        .join(a.hint("shuffle_hash"), "id_lo")
+        .join(b.hint("shuffle_hash"), "id_hi")
         .select(
             "id_lo",
             "id_hi",

@@ -155,8 +155,12 @@ def assign_clusters(
 ) -> DataFrame:
     """(id) x (id_lo, id_hi) -> (id, cluster_id); singletons keep their own id."""
     cc = connected_components(edges)
+    # cc is bounded by the edge-touched node count (dup-pair members only),
+    # usually far smaller than all_ids but not broadcast-bounded at corpus
+    # scale; shuffle_hash builds the hash table from it without sorting either
+    # side, which is the right plan at every scale.
     return (
         all_ids.select(F.col(id_col).alias("id"))
-        .join(cc, "id", "left")
+        .join(cc.hint("shuffle_hash"), "id", "left")
         .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
     )

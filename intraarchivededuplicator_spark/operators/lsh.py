@@ -82,11 +82,21 @@ def jaccard_verify_pairs(
     id_col: str = "id",
     shingle_set_col: str = "shingle_hashes",
     threshold: float = 0.7,
+    prefilter_ids: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over shingle-hash sets for candidate pairs.
 
     docs must carry an array<long> of *distinct* shingle hashes. JVM-side:
     array_intersect / array_union, no UDF.
+
+    prefilter_ids (semi-join reduction): the docs rows are FAT (shingle-hash
+    arrays, hundreds of longs each) while the candidate-id set is bare longs,
+    so broadcast the distinct candidate ids and semi-filter docs before the
+    two verify joins — only docs that appear in some candidate pair pay the
+    exchange. The joins themselves are hinted shuffle_hash: both sides are
+    keyed on the id, and sort-merge would sort the array rows for nothing.
+    Disable when the candidate-id set itself is too large to broadcast
+    (>~10^8 distinct ids); the plan then degrades to plain shuffle joins.
     """
     a = docs.select(
         F.col(id_col).alias("id_lo"), F.col(shingle_set_col).alias("_sa")
@@ -94,9 +104,19 @@ def jaccard_verify_pairs(
     b = docs.select(
         F.col(id_col).alias("id_hi"), F.col(shingle_set_col).alias("_sb")
     )
+    if prefilter_ids:
+        ids = candidates.select(
+            F.explode(F.array("id_lo", "id_hi")).alias("_cid")
+        ).distinct()
+        a = a.join(
+            F.broadcast(ids.select(F.col("_cid").alias("id_lo"))), "id_lo", "left_semi"
+        )
+        b = b.join(
+            F.broadcast(ids.select(F.col("_cid").alias("id_hi"))), "id_hi", "left_semi"
+        )
     return (
-        candidates.join(a, "id_lo")
-        .join(b, "id_hi")
+        candidates.join(a.hint("shuffle_hash"), "id_lo")
+        .join(b.hint("shuffle_hash"), "id_hi")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("_sa", "_sb"))

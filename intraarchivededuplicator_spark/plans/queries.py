@@ -400,14 +400,22 @@ def q_minhash_pairs_cross_source(spark, sf_dir):
     """J2 'matches excluding own container': MinHash band candidates whose two
     docs live in different sources (/root/reference/dbApi.py:503-507)."""
     pairs = q_minhash_band_pairs(spark, sf_dir)
+    # the id->source lookup is a narrow dimension-style projection at driver
+    # scale: broadcast it so the (expensive) pairs subtree never re-shuffles.
+    # At corpus scale the engine's report path (engine/report.py) does this
+    # site attachment under the pairs' own partitioning instead.
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         pairs.join(
-            src.select(F.col("doc_id").alias("id_lo"), F.col("source").alias("src_lo")),
+            F.broadcast(
+                src.select(F.col("doc_id").alias("id_lo"), F.col("source").alias("src_lo"))
+            ),
             "id_lo",
         )
         .join(
-            src.select(F.col("doc_id").alias("id_hi"), F.col("source").alias("src_hi")),
+            F.broadcast(
+                src.select(F.col("doc_id").alias("id_hi"), F.col("source").alias("src_hi"))
+            ),
             "id_hi",
         )
         .filter(F.col("src_lo") != F.col("src_hi"))
@@ -474,8 +482,18 @@ def q_masked_match_candidates(spark, sf_dir):
         pairs.select(F.col("id_hi").alias("q_id"), F.col("id_lo").alias("c_id"))
     )
     j = (
-        sym.join(src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source")), "q_id")
-        .join(src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source")), "c_id")
+        sym.join(
+            F.broadcast(
+                src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("q_source"))
+            ),
+            "q_id",
+        )
+        .join(
+            F.broadcast(
+                src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("c_source"))
+            ),
+            "c_id",
+        )
         .filter(F.col("q_source") != F.col("c_source"))
     )
     return apply_candidate_masks(

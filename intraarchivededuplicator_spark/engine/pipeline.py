@@ -74,14 +74,36 @@ def compute_docs(
     df = with_text_hash(df)
     if hash_partitions:
         df = df.repartition(hash_partitions, "text_hash")
-    df = df.withColumn("id", F.xxhash64("url"))
+    df = df.withColumn("id", F.xxhash64("url")).withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
     sig_udf = make_fast_signatures_udf(cfg.k_shingle, cfg.minhash_params)
     sig_text = F.col("text")
     rep_cols = []
     if rep_gate:
         grp = Window.partitionBy("text_hash")
-        df = df.withColumn("rep_id", F.min("id").over(grp))
-        is_rep = F.col("id") == F.col("rep_id")
+        if cfg.junk_filter:
+            # rep election must be junk-aware (ADVICE r2): junk rules look at
+            # the URL, which differs within a byte-identical group, so the
+            # min-id member can be junk while siblings are not. Elect the rep
+            # among NON-JUNK members (falling back to min id for all-junk
+            # groups, whose members build_pairs junk-gates out anyway) so a
+            # live group never loses fuzzy matching to a junk-flagged rep —
+            # and never signs an all-junk rep at all.
+            from ..functions.junk import is_junk_page
+
+            df = df.withColumn("_junk", is_junk_page("url", "text", "n_tokens"))
+            df = df.withColumn(
+                "rep_id",
+                F.coalesce(
+                    F.min(F.when(~F.col("_junk"), F.col("id"))).over(grp),
+                    F.min("id").over(grp),
+                ),
+            )
+            is_rep = (F.col("id") == F.col("rep_id")) & ~F.col("_junk")
+        else:
+            df = df.withColumn("rep_id", F.min("id").over(grp))
+            is_rep = F.col("id") == F.col("rep_id")
         sig_text = F.when(is_rep, F.col("text"))
         rep_cols = [F.col("rep_id")]
     sig = sig_udf(sig_text)  # one expression: evaluated once per row
@@ -100,7 +122,7 @@ def compute_docs(
         simhash_col.alias("simhash"),
         sig["minhash"].alias("minhash"),
         sig["shingle_hashes"].alias("shingle_hashes"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.col("n_tokens"),
         *([F.col("lang")] if "lang" in df.columns else []),
         *([F.col("warc_ts")] if "warc_ts" in df.columns else []),
     )

@@ -76,7 +76,12 @@ def with_extracted_text(
         )
         .when(
             m.startswith("text/"),
-            F.decode(F.col(html_col), "UTF-8"),
+            # cast, NOT F.decode: decode('UTF-8') under Spark 4 ANSI throws
+            # MALFORMED_CHARACTER_CODING on the first invalid byte sequence
+            # (one bad text/plain payload would abort the whole job); cast
+            # uses replacement-char semantics, matching the HTML branch's
+            # errors='replace' (extract_text_py)
+            F.col(html_col).cast("string"),
         )
         .otherwise(F.lit("")),
     )

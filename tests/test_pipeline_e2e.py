@@ -220,3 +220,55 @@ def test_observation_progress_counters(spark, corpus, result):
     assert d["n_signed"] <= d["n_docs"]
     assert p["n_pairs"] == result["pairs"].count()
     assert 0 < p["n_exact"] <= p["n_pairs"]
+
+
+def test_junk_rep_election(spark):
+    """ADVICE r2 / VERDICT r2 #5: when the min-id member of an exact group is
+    URL-junk (junk rules see the url, which differs within a byte-identical
+    group), the representative must still be a NON-junk member — otherwise the
+    whole group silently loses fuzzy matching and the junk doc leaks into the
+    pairs table via star edges."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the farmer watches from the old wooden fence nearby today"
+    )
+    near = base.replace("today", "tonight")
+    junk_urls = [f"http://j{i}.example.com/style.css" for i in range(50)]
+    live_url = "http://live.example.com/article"
+    partner_url = "http://other.example.com/article"
+    # pick a junk url whose xxhash64 id sorts BELOW the live member's id so
+    # the junk member would win a junk-unaware min-id election
+    ids = {
+        r["u"]: r["h"]
+        for r in spark.createDataFrame(
+            [(u,) for u in junk_urls + [live_url, partner_url]], "u string"
+        )
+        .select("u", F.xxhash64("u").alias("h"))
+        .collect()
+    }
+    junk_url = min(junk_urls, key=lambda u: ids[u])
+    assert ids[junk_url] < ids[live_url], "fixture assumption broke"
+
+    pages = spark.createDataFrame(
+        [(junk_url, base), (live_url, base), (partner_url, near)],
+        "url string, text string",
+    )
+    out = dedup_pipeline(spark, pages, CFG, extract=False)
+    docs = {r["url"]: r.asDict() for r in out["docs"].collect()}
+    # the live member, not the lower-id junk one, is the group rep and signed
+    assert docs[live_url]["rep_id"] == docs[live_url]["id"]
+    assert docs[live_url]["simhash"] is not None
+    assert docs[junk_url]["simhash"] is None
+    # the junk doc appears in NO pair; the live group still fuzzy-matches
+    pair_rows = out["pairs"].collect()
+    pair_ids = {r["id_lo"] for r in pair_rows} | {r["id_hi"] for r in pair_rows}
+    assert ids[junk_url] not in pair_ids
+    fuzzy = {
+        (r["id_lo"], r["id_hi"])
+        for r in pair_rows
+        if r["kind"] in ("simhash", "jaccard", "containment", "minhash")
+    }
+    a, b = sorted((ids[live_url], ids[partner_url]))
+    assert (a, b) in fuzzy
+    out["docs"].unpersist()
+    out["pairs"].unpersist()

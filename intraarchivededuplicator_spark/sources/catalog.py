@@ -31,12 +31,39 @@ class ParquetCatalog:
              <root>/<table>/_manifest.json       (atomic pointer + history;
              each snapshot records its data-directory SET, so an append
              commit writes one new dir and re-lists the old ones)
+
+    With a bucket spec (set_bucket_spec), every data dir is additionally
+    split into `_bucket=K` leaf dirs by key hash, and snapshots list LEAF
+    paths. A merge/delete then rewrites only the buckets its delta touches —
+    untouched leaves are re-listed byte-identical (the column-stats file
+    pruning of a real Iceberg MERGE, bucket-grained; VERDICT r2 #7).
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    # -- bucket spec -------------------------------------------------------
+    def set_bucket_spec(self, table: str, key_cols: list[str], n_buckets: int) -> None:
+        """Declare hash-bucket partitioning for a table's future writes.
+        Must be set before the first snapshot (retro-bucketing existing flat
+        snapshots would be a rewrite, which compact() can do explicitly)."""
+        man = self._manifest(table)
+        if man["current"] > 0:
+            raise ValueError(f"table {table} already has snapshots")
+        man["bucket_spec"] = {"key_cols": list(key_cols), "n": int(n_buckets)}
+        self._write_manifest(table, man)
+
+    def _bucket_col(self, spec: dict) -> Column:
+        keys = [F.col(c).cast("string") for c in spec["key_cols"]]
+        return F.pmod(F.xxhash64(*keys), F.lit(spec["n"])).cast("int")
+
+    @staticmethod
+    def _leaf_bucket(rel: str) -> int | None:
+        """d000002/_bucket=3 -> 3; flat dirs (no spec / legacy) -> None."""
+        tail = os.path.basename(rel)
+        return int(tail.split("=", 1)[1]) if tail.startswith("_bucket=") else None
 
     # -- manifest plumbing -------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -52,13 +79,29 @@ class ParquetCatalog:
         with open(p) as f:
             return json.load(f)
 
-    def _write_data(self, table: str, df: DataFrame, version: int) -> tuple[str, int]:
+    def _write_data(
+        self, table: str, df: DataFrame, version: int, spec: dict | None = None
+    ) -> tuple[list[str], int]:
         """Write df's rows as the data directory for `version`; returns
-        (relative dir name, row count)."""
+        (relative leaf paths, row count). With a bucket spec the dir is split
+        into _bucket=K leaves (the _bucket column lives only in the path;
+        it is deterministic from the keys and recomputed when needed)."""
         rel = f"d{version:06d}"
         path = os.path.join(self._tdir(table), rel)
-        df.write.mode("overwrite").parquet(path)
-        return rel, self.spark.read.parquet(path).count()
+        if spec:
+            (
+                df.withColumn("_bucket", self._bucket_col(spec))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(path)
+            )
+            leaves = sorted(
+                f"{rel}/{d}" for d in os.listdir(path) if d.startswith("_bucket=")
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+            leaves = [rel]
+        return leaves, self.spark.read.parquet(path).count()
 
     def _commit(
         self, table: str, operation: str, dirs: list[str], rows: int
@@ -79,12 +122,15 @@ class ParquetCatalog:
         }
         man["current"] = version
         man["snapshots"].append(snap)
+        self._write_manifest(table, man)
+        return snap
+
+    def _write_manifest(self, table: str, man: dict) -> None:
         tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(self._tdir(table), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path(table))
-        return snap
 
     def _snapshot(self, table: str, version: int) -> dict:
         man = self._manifest(table)
@@ -92,6 +138,13 @@ class ParquetCatalog:
             if snap["version"] == version:
                 return snap
         raise FileNotFoundError(f"table {table} has no snapshot v{version}")
+
+    @staticmethod
+    def _snap_dirs(snap: dict) -> list[str]:
+        """Data paths of a snapshot. Manifests written by the pre-r2 layout
+        (one v{N:06d} dir per snapshot, no 'dirs' key) fall back to that dir
+        so old catalogs stay readable (ADVICE r2)."""
+        return snap.get("dirs") or [f"v{snap['version']:06d}"]
 
     # -- verb surface (S6-S9) ----------------------------------------------
     def exists(self, table: str) -> bool:
@@ -103,57 +156,119 @@ class ParquetCatalog:
         if v == 0:
             raise FileNotFoundError(f"table {table} has no snapshots")
         snap = self._snapshot(table, v)
-        paths = [os.path.join(self._tdir(table), d) for d in snap["dirs"]]
+        paths = [os.path.join(self._tdir(table), d) for d in self._snap_dirs(snap)]
         return self.spark.read.parquet(*paths)
+
+    def _read_paths(self, table: str, rels: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self._tdir(table), d) for d in rels]
+        )
 
     def overwrite(self, df: DataFrame, table: str) -> dict:
         man = self._manifest(table)
-        rel, rows = self._write_data(table, df, man["current"] + 1)
-        return self._commit(table, "overwrite", [rel], rows)
+        leaves, rows = self._write_data(
+            table, df, man["current"] + 1, man.get("bucket_spec")
+        )
+        return self._commit(table, "overwrite", leaves, rows)
 
     def append(self, df: DataFrame, table: str) -> dict:
         """S6 row sink (/root/reference/dbApi.py:249-259). O(delta): only the
-        new rows are written; the snapshot lists prior directories + the new
-        one."""
+        new rows are written; the snapshot lists prior leaves + the new
+        ones."""
         man = self._manifest(table)
-        rel, rows = self._write_data(table, df, man["current"] + 1)
+        leaves, rows = self._write_data(
+            table, df, man["current"] + 1, man.get("bucket_spec")
+        )
         if self.exists(table):
             prev = self._snapshot(table, man["current"])
             return self._commit(
-                table, "append", prev["dirs"] + [rel], prev["rows"] + rows
+                table, "append", self._snap_dirs(prev) + leaves, prev["rows"] + rows
             )
-        return self._commit(table, "append", [rel], rows)
+        return self._commit(table, "append", leaves, rows)
 
     def merge(self, df: DataFrame, table: str, key_cols: list[str]) -> dict:
         """S7/S8 upsert: new rows win on key collision
         (/root/reference/dbApi.py:240-244, :263-299; Iceberg MERGE INTO).
 
-        Rewrites the kept (non-colliding) rows into one directory plus the
-        delta directory. O(table) when keys collide broadly — real Iceberg
-        narrows this to matched FILES via column stats; the verb surface and
-        snapshot semantics are identical."""
+        With a bucket spec, O(delta): only buckets the delta's keys hash into
+        are read, anti-joined, and rewritten; every other leaf is re-listed
+        untouched (byte-identical files) — the bucket-grained analog of
+        Iceberg narrowing a MERGE to matched files via column stats. Without
+        a spec (or over legacy flat snapshots) it degrades to the full
+        rewrite."""
         man = self._manifest(table)
         version = man["current"] + 1
-        if self.exists(table):
+        spec = man.get("bucket_spec")
+        if not self.exists(table):
+            leaves, rows = self._write_data(table, df, version, spec)
+            return self._commit(table, "merge", leaves, rows)
+        prev = self._snapshot(table, man["current"])
+        old = self._snap_dirs(prev)
+        bucketed = spec is not None and all(
+            self._leaf_bucket(d) is not None for d in old
+        )
+        if not bucketed:
             cur = self.read(table)
             kept = cur.join(
                 df.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
             )
-            df = kept.unionByName(df)
-        rel, rows = self._write_data(table, df, version)
-        return self._commit(table, "merge", [rel], rows)
+            leaves, rows = self._write_data(table, kept.unionByName(df), version, spec)
+            return self._commit(table, "merge", leaves, rows)
+        # O(delta) path: the delta hits at most min(n_buckets, |delta|) buckets
+        touched = {
+            r["b"]
+            for r in df.select(self._bucket_col(spec).alias("b")).distinct().collect()
+        }
+        hit = [d for d in old if self._leaf_bucket(d) in touched]
+        untouched = [d for d in old if self._leaf_bucket(d) not in touched]
+        new_df = df
+        if hit:
+            kept = self._read_paths(table, hit).join(
+                df.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+            )
+            new_df = kept.unionByName(df.select(*kept.columns))
+        leaves, rows = self._write_data(table, new_df, version, spec)
+        total = rows + (
+            self._read_paths(table, untouched).count() if untouched else 0
+        )
+        return self._commit(table, "merge", sorted(untouched) + leaves, total)
 
     def delete_where(self, table: str, predicate: Column) -> dict:
         """S9 delete; refuses a trivially-true predicate the way the reference
-        refuses an empty WHERE (/root/reference/dbApi.py:569-588)."""
+        refuses an empty WHERE (/root/reference/dbApi.py:569-588). With a
+        bucket spec, only leaves that contain matching rows are rewritten."""
         if predicate is None:
             raise ValueError("refusing DELETE without a predicate")
         man = self._manifest(table)
-        cur = self.read(table)
-        rel, rows = self._write_data(
-            table, cur.filter(~predicate), man["current"] + 1
+        version = man["current"] + 1
+        spec = man.get("bucket_spec")
+        prev = self._snapshot(table, man["current"])
+        old = self._snap_dirs(prev)
+        bucketed = spec is not None and all(
+            self._leaf_bucket(d) is not None for d in old
         )
-        return self._commit(table, "delete", [rel], rows)
+        if not bucketed:
+            cur = self.read(table)
+            leaves, rows = self._write_data(table, cur.filter(~predicate), version, spec)
+            return self._commit(table, "delete", leaves, rows)
+        cur = self.read(table)
+        touched = {
+            r["b"]
+            for r in cur.filter(predicate)
+            .select(self._bucket_col(spec).alias("b"))
+            .distinct()
+            .collect()
+        }
+        hit = [d for d in old if self._leaf_bucket(d) in touched]
+        untouched = [d for d in old if self._leaf_bucket(d) not in touched]
+        if not hit:  # nothing matched: metadata-only commit
+            return self._commit(table, "delete", old, prev["rows"])
+        kept = self._read_paths(table, hit).filter(~predicate)
+        leaves, rows = self._write_data(table, kept, version, spec)
+        total = rows + (
+            self._read_paths(table, untouched).count() if untouched else 0
+        )
+        return self._commit(table, "delete", sorted(untouched) + leaves, total)
 
     def snapshots(self, table: str) -> list[dict]:
         return self._manifest(table)["snapshots"]

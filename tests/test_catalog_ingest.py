@@ -204,3 +204,109 @@ class TestStreamingIngest:
         out = crawl_rate(spark.createDataFrame(rows, schema=PAGES_SCHEMA)).collect()
         assert sum(r["n_pages"] for r in out) == 6
         assert all(r["window_end"] > r["window_start"] for r in out)
+
+
+class TestBucketedCatalog:
+    """O(delta) merge/delete via hash-bucketed leaves (VERDICT r2 #7) and the
+    pre-r2 manifest fallback (ADVICE r2)."""
+
+    def _file_states(self, tdir):
+        import os
+
+        out = {}
+        for root, _dirs, files in os.walk(tdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, tdir)] = (
+                        os.path.getmtime(p),
+                        os.path.getsize(p),
+                    )
+        return out
+
+    def test_merge_rewrites_only_colliding_buckets(self, spark, catalog):
+        import os
+
+        catalog.set_bucket_spec("t", ["k"], 8)
+        catalog.append(
+            spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(64)]), "t"
+        )
+        tdir = os.path.join(catalog.root, "t")
+        before = self._file_states(tdir)
+        assert any("_bucket=" in p for p in before)
+
+        delta = spark.createDataFrame([Row(k=3, v="NEW3"), Row(k=70, v="v70")])
+        catalog.merge(delta, "t", ["k"])
+
+        # delta hits at most 2 of 8 buckets: every leaf of an untouched
+        # bucket must be byte-identical (same file, same mtime+size)
+        touched = {
+            r["b"]
+            for r in delta.select(
+                catalog._bucket_col({"key_cols": ["k"], "n": 8}).alias("b")
+            ).collect()
+        }
+        for rel, st in before.items():
+            bucket = int(rel.split("_bucket=")[1].split("/")[0])
+            if bucket not in touched:
+                full = os.path.join(tdir, rel)
+                assert os.path.exists(full), rel
+                assert (os.path.getmtime(full), os.path.getsize(full)) == st, rel
+        got = {r["k"]: r["v"] for r in catalog.read("t").collect()}
+        assert got[3] == "NEW3" and got[70] == "v70" and got[5] == "v5"
+        assert len(got) == 65
+        assert catalog.snapshots("t")[-1]["rows"] == 65
+
+    def test_bucketed_delete_touches_matching_buckets_only(self, spark, catalog):
+        import os
+
+        catalog.set_bucket_spec("t", ["k"], 8)
+        catalog.append(
+            spark.createDataFrame([Row(k=i, v=i * 10) for i in range(64)]), "t"
+        )
+        tdir = os.path.join(catalog.root, "t")
+        before = self._file_states(tdir)
+        catalog.delete_where("t", F.col("k") == 7)
+        after_rows = {r["k"] for r in catalog.read("t").collect()}
+        assert 7 not in after_rows and len(after_rows) == 63
+        # the bucket holding k=7 was rewritten; count untouched leaves
+        unchanged = [
+            p
+            for p, st in before.items()
+            if os.path.exists(os.path.join(tdir, p))
+            and (
+                os.path.getmtime(os.path.join(tdir, p)),
+                os.path.getsize(os.path.join(tdir, p)),
+            )
+            == st
+        ]
+        assert len(unchanged) >= len(before) - len(before) // 2
+
+    def test_legacy_manifest_without_dirs_key(self, spark, catalog):
+        """Manifests from the pre-r2 v{N:06d} layout (snapshots lack 'dirs')
+        must keep reading and appending (ADVICE r2)."""
+        import json
+        import os
+
+        df = spark.range(10).withColumn("v", F.col("id") + 100)
+        tdir = os.path.join(catalog.root, "legacy")
+        df.write.parquet(os.path.join(tdir, "v000001"))
+        with open(os.path.join(tdir, "_manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "table": "legacy",
+                    "current": 1,
+                    "snapshots": [
+                        {"version": 1, "operation": "append", "rows": 10}
+                    ],
+                },
+                f,
+            )
+        assert catalog.read("legacy").count() == 10
+        catalog.append(spark.range(10, 13).withColumn("v", F.col("id") + 100), "legacy")
+        assert catalog.read("legacy").count() == 13
+        catalog.merge(
+            spark.createDataFrame([Row(id=5, v=999)]), "legacy", ["id"]
+        )
+        got = {r["id"]: r["v"] for r in catalog.read("legacy").collect()}
+        assert got[5] == 999 and len(got) == 13

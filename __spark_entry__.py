@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_radius_search": q.q_simhash_radius_search,
         "simhash_clusters": q.q_simhash_clusters,
         "best_simhash_match": q.q_best_simhash_match,
+        "best_matching_source": q.q_best_matching_source,
         "match_count_histogram": q.q_match_count_histogram,
         # MinHash family (H3, LSH)
         "minhash_signatures_long": q.q_minhash_signatures_long,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
         "best_simhash_match": o.sql_best_simhash_match(SEARCH_RADIUS),
+        "best_matching_source": o.sql_best_matching_source(SEARCH_RADIUS),
         "match_count_histogram": o.sql_match_count_histogram(SIMHASH_RADIUS),
         "minhash_signatures_long": o.sql_minhash_long(ORACLE_MINHASH, K_SHINGLE),
         "minhash_band_pairs": o.sql_minhash_band_pairs(

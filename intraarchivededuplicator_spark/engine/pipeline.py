@@ -128,7 +128,11 @@ def compute_docs(
     )
 
 
-def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+def build_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
     """Union of all pair families, canonical + deduplicated:
     (id_lo, id_hi, distance, kind). kind precedence exact > simhash >
     containment > jaccard > minhash when the same pair is found by several
@@ -187,6 +191,7 @@ def build_pairs(docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         blacklist=cfg.blacklist,
         hot_threshold=cfg.hot_band_threshold,
         salt=cfg.hot_band_salt,
+        hot_keys=hot_keys,
     ).withColumn("kind", F.lit("simhash"))
     mh_cand = minhash_candidate_pairs(
         matchable,
@@ -313,10 +318,36 @@ def dedup_pipeline(
         # (observed at 160k docs even with a 48g heap)
         docs = docs.persist()
         docs.count()
+    # S13 skew registry: SimHash band keys whose group exceeds the hot
+    # threshold — the high_incidence_hashes side table analog
+    # (/root/reference/dbPhashApi.py:185-191), persisted by jobs/dedup_job so
+    # operators can consult it for salting/blacklisting across runs. Computed
+    # ONCE over the cached docs and shared with the banded self-join's
+    # hot/cold split below (r2 verdict: previously this explode+groupBy ran
+    # twice per pipeline). Registry rows are a slight superset of the join's
+    # own view (blacklisted sigs included) — safe, see banded_self_join.
+    from ..operators.banded_join import explode_bands, hot_band_keys
+
+    hot_bands = hot_band_keys(
+        explode_bands(
+            docs.filter(F.col("simhash").isNotNull()), "id", "simhash",
+            cfg.simhash_bands,
+        ),
+        cfg.hot_band_threshold,
+    )
+    if cfg.hot_band_threshold is not None:
+        # tiny by construction (keys above the threshold); persist so the
+        # registry aggregation runs once across its two broadcast uses
+        hot_bands = hot_bands.persist()
+
     pairs = ck.run(
         spark,
         "pairs",
-        lambda: build_pairs(docs, cfg).observe(
+        lambda: build_pairs(
+            docs,
+            cfg,
+            hot_keys=hot_bands if cfg.hot_band_threshold is not None else None,
+        ).observe(
             obs["pairs"],
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.when(F.col("kind") == "exact", 1).otherwise(0)).alias(
@@ -327,20 +358,6 @@ def dedup_pipeline(
     if isinstance(ck, NullCheckpointer):
         pairs = pairs.persist()
         pairs.count()
-
-    # S13 skew registry: SimHash band keys whose group exceeds the hot
-    # threshold — the high_incidence_hashes side table analog
-    # (/root/reference/dbPhashApi.py:185-191), persisted by jobs/dedup_job so
-    # operators can consult it for salting/blacklisting across runs
-    from ..operators.banded_join import explode_bands, hot_band_keys
-
-    hot_bands = hot_band_keys(
-        explode_bands(
-            docs.filter(F.col("simhash").isNotNull()), "id", "simhash",
-            cfg.simhash_bands,
-        ),
-        cfg.hot_band_threshold,
-    )
     clusters = ck.run(
         spark,
         "clusters",

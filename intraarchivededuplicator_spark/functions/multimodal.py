@@ -7,12 +7,15 @@ media as opaque `binary` columns with typed metadata, decode / feature /
 resize / frame-sample as Arrow-batched `mapInPandas` stages so each executor
 processes whole record batches without per-row Python.
 
-This container has no image/audio codecs, so the *decode* kernel is stubbed:
-`decode_backend="real"` raises NotImplementedError at the exact call site a
-codec (PIL / torchaudio / pyav) would plug into, and the default
-`decode_backend="fake"` derives deterministic dimensions / frames / features
-from the payload bytes (blake2b) so the Spark-side plumbing — schema, batch
-shape, partitioning, downstream joins — is real and fully tested.
+`decode_backend="real"` decodes IMAGES for real: via PIL when it is
+installed (PNG/JPEG/WebP/...), and with built-in dependency-free parsers for
+uncompressed PPM/PGM/BMP otherwise — so the branch is exercisable (and
+golden-tested) even in codec-free containers like this one. Features are
+aHash-style 8x8 mean-pooled luma, unit-normalized. Audio/video decode still
+raises NotImplementedError at the exact call site pyav/torchaudio would plug
+into. The default `decode_backend="fake"` derives deterministic dimensions /
+frames / features from the payload bytes (blake2b) for plumbing tests that
+must not depend on any pixel format.
 """
 
 from __future__ import annotations
@@ -94,11 +97,146 @@ def _fake_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
     )
 
 
+def _try_pil_decode(raw: bytes) -> np.ndarray | None:
+    """PIL pathway (PNG/JPEG/WebP/...): grayscale float array, or None if PIL
+    is absent or can't parse the payload."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(BytesIO(raw)) as im:
+            return np.asarray(im.convert("L"), dtype=np.float64)
+    except Exception:
+        return None
+
+
+def _parse_ppm(raw: bytes) -> np.ndarray | None:
+    """Dependency-free decoder for binary PPM/PGM (P6/P5) — real image
+    formats, so the 'real' branch is exercisable even where PIL isn't
+    installed. Returns grayscale float64 HxW or None."""
+    if raw[:2] not in (b"P6", b"P5"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(raw):
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        toks.append(raw[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    except (ValueError, IndexError):
+        return None
+    if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+        return None
+    ch = 3 if raw[:2] == b"P6" else 1
+    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=i)
+    if px.size < w * h * ch:
+        return None
+    if ch == 3:
+        rgb = px.reshape(h, w, 3).astype(np.float64)
+        # ITU-R 601 luma — same weights PIL's convert("L") uses
+        return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    return px.reshape(h, w).astype(np.float64)
+
+
+def _parse_bmp(raw: bytes) -> np.ndarray | None:
+    """Dependency-free decoder for uncompressed 24-bit BMP. Grayscale or None."""
+    if raw[:2] != b"BM" or len(raw) < 54:
+        return None
+    data_off = int.from_bytes(raw[10:14], "little")
+    hdr_size = int.from_bytes(raw[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(raw) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=data_off)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    if flip:
+        bgr = bgr[::-1]
+    return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+
+
+def _ahash_features(gray: np.ndarray, grid: int = 8) -> list[float]:
+    """aHash-style features: mean-pool to grid x grid, center, unit-normalize —
+    the pHash kernel shape (/root/reference/scanner/hashFile.py:95-106) kept
+    continuous (the LSH layer downstream does the binarization)."""
+    pooled = np.array(
+        [
+            [c.mean() for c in np.array_split(r, grid, axis=1)]
+            for r in np.array_split(gray, grid, axis=0)
+        ],
+        dtype=np.float64,
+    ).ravel()
+    v = pooled - pooled.mean()
+    n = np.linalg.norm(v)
+    v = v / n if n > 0 else v
+    return [float(x) for x in v.astype(np.float32)]
+
+
 def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFrame:
-    raise NotImplementedError(
-        "real codecs (PIL/pyav/torchaudio) are not available in this "
-        "environment; plug the decoder in here — the Spark plumbing around it "
-        "is unchanged"
+    """Real image decode: PIL when installed (PNG/JPEG/...), with built-in
+    parsers for uncompressed PPM/PGM/BMP so the branch works codec-free.
+    Audio/video payloads still raise — pyav/torchaudio would plug in here.
+    Undecodable images yield null dims/features (quarantine rows, never a
+    job abort — the scanner's per-file IOError discipline,
+    /root/reference/scanner/fileHasher.py:406-430)."""
+    n = len(payloads)
+    width = np.zeros(n, dtype=np.int32)
+    height = np.zeros(n, dtype=np.int32)
+    frames = np.ones(n, dtype=np.int32)
+    feats: list[list[float] | None] = []
+    for i, (raw, mt) in enumerate(zip(payloads, media_types)):
+        if raw is None:
+            feats.append(None)
+            continue
+        if mt != "image":
+            raise NotImplementedError(
+                "real audio/video codecs (pyav/torchaudio) are not available; "
+                "plug the decoder in here — the Spark plumbing is unchanged"
+            )
+        raw = bytes(raw)
+        gray = _try_pil_decode(raw)
+        if gray is None:
+            gray = _parse_ppm(raw)
+        if gray is None:
+            gray = _parse_bmp(raw)
+        if gray is None or gray.size == 0:
+            feats.append(None)
+            continue
+        height[i], width[i] = gray.shape
+        feats.append(_ahash_features(gray, grid=int(FEATURE_DIM**0.5)))
+    return pd.DataFrame(
+        {
+            "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype(
+                "int32"
+            ),
+            "width": width,
+            "height": height,
+            "n_frames": frames,
+            "features": feats,
+        }
     )
 
 

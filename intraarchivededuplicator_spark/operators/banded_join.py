@@ -77,6 +77,7 @@ def banded_self_join(
     hot_threshold: int | None = None,
     salt: int = 16,
     require_full_recall: bool = True,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs (id_lo < id_hi, distance <= radius) — the J7 edge extraction
     (/root/reference/loader.py:91-128) as one set-oriented job.
@@ -85,6 +86,12 @@ def banded_self_join(
     require_full_recall=False permits radius >= n_bands for *probabilistic*
     candidate generation (hyperplane-LSH ANN, operators/ann.py), where misses
     are by design and measured, not a bug.
+
+    hot_keys: optional precomputed skew registry (band_id, band_key) — e.g.
+    the S13 registry the pipeline already materializes — so the full
+    explode+groupBy isn't run a second time here. Safe to pass a SUPERSET of
+    this join's own hot keys (the salted path is exact all-pairs regardless);
+    counts from a superset of rows only ever salt more keys, never fewer.
     """
     n_bands = n_bands or bands_for_radius(radius)
     if require_full_recall and n_bands <= radius:
@@ -94,10 +101,11 @@ def banded_self_join(
         src = src.filter(~F.col(sig_col).isin(list(blacklist)))
     bands = explode_bands(src, id_col, sig_col, n_bands)
 
-    if hot_threshold is None:
+    if hot_threshold is None and hot_keys is None:
         cold, hot = bands, None
     else:
-        hot_keys = hot_band_keys(bands, hot_threshold)
+        if hot_keys is None:
+            hot_keys = hot_band_keys(bands, hot_threshold)
         cold = bands.join(
             F.broadcast(hot_keys.select("band_id", "band_key")),
             ["band_id", "band_key"],

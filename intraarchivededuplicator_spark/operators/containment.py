@@ -78,14 +78,21 @@ def containment_pairs(
     tolerance is 2*(k_shingle-1) shingles on both the all-multi gate and the
     subset filter; the suffix-array verify downstream is exact either way.
 
-    Skew: the anchor is each doc's globally RAREST shingle (min by document
-    frequency, hash tie-break) — valid because any inner shingle with df>=2
-    works as the anchor, and the rarest is the most selective. A common
-    shingle can therefore never accumulate a large anchor group; only true
+    Skew: anchors are each doc's 2*(k-1)+1 globally RAREST df>=2 shingles
+    (min by document frequency, hash tie-break) — rarest-first because any
+    inner shingle genuinely shared with the outer works as an anchor and the
+    rarest is the most selective; 2*(k-1)+1 of them because up to 2*(k-1)
+    boundary shingles can be perturbed by a mid-token substring cut AND still
+    have df>=2 via some third doc, so a single min-anchor could be absent
+    from the outer and silently miss the pair (ADVICE r2) — by pigeonhole at
+    least one of 2*(k-1)+1 distinct df>=2 shingles is interior, and interior
+    shingles of a contained doc always occur in the outer. A common shingle
+    can therefore never accumulate a large anchor group; only true
     near-identical mega-clusters (where every shingle is shared by all m
-    members) stay hot, and anchors whose inner x df product exceeds
-    hot_anchor_cap are skipped — their connectivity is the SimHash/Jaccard
-    legs' job (the reference's >100-candidate skip,
+    members) stay hot, and anchor slots whose inner x df product exceeds
+    hot_anchor_cap are skipped (per slot — a doc skipped on one hot anchor
+    still joins via its other anchors) — residual connectivity is the
+    SimHash/Jaccard legs' job (the reference's >100-candidate skip,
     /root/reference/deduplicator/ProcessArchive.py:504-513). None disables
     the cap.
 
@@ -118,28 +125,37 @@ def containment_pairs(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
+    from pyspark.sql.window import Window
+
+    n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
     shared = exploded.join(multi, "s")
-    per_doc = shared.groupBy("_id", "_len").agg(
-        F.min(F.struct("df", "s")).alias("_m"),
-        F.count("*").alias("_n_multi"),
-    )
+    # one shuffle on _id yields both the rarest-anchor ranking and the
+    # shared-shingle count (window pair instead of a groupBy + re-join)
+    ranked = shared.select(
+        "_id",
+        "_len",
+        "s",
+        "df",
+        F.row_number()
+        .over(Window.partitionBy("_id").orderBy("df", "s"))
+        .alias("_rn"),
+        F.count("*").over(Window.partitionBy("_id")).alias("_n_multi"),
+    ).filter(F.col("_rn") <= n_anchors)
     n_sh = base.select(F.col("_id"), F.size("_sh").alias("_n_sh"))
     inner = (
-        per_doc.join(n_sh, "_id")
+        ranked.join(n_sh, "_id")
         # inner docs: every shingle shared, minus boundary tolerance
         .filter(F.col("_n_multi") >= F.col("_n_sh") - slack)
         .select(
             F.col("_id").alias("inner_id"),
             F.col("_len").alias("inner_len"),
-            F.col("_m.s").alias("anchor"),
-            F.col("_m.df").alias("_adf"),
+            F.col("s").alias("anchor"),
+            F.col("df").alias("_adf"),
         )
     )
     if hot_anchor_cap is not None:
-        # skip anchors whose candidate volume (inners x outer df) would blow
-        # up — one window over the small inner table, no extra join branch
-        from pyspark.sql.window import Window
-
+        # skip anchor slots whose candidate volume (inners x outer df) would
+        # blow up — one window over the small inner table, no extra join
         n_in = F.count("*").over(Window.partitionBy("anchor"))
         inner = inner.withColumn("_n_in", n_in).filter(
             F.col("_n_in") * F.col("_adf") <= hot_anchor_cap

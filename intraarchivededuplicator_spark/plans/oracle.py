@@ -614,6 +614,58 @@ SELECT q_id, c_id, q_source, c_source FROM j
 WHERE ({pos}) AND {neg} AND {kw}"""
 
 
+def sql_best_matching_source(radius: int, blacklist=(0,)) -> str:
+    """Container-level A6+R1 twin of engine/report.{site_match_counts,
+    best_matching_site}: brute-force SimHash radius pairs -> symmetric
+    (query, candidate) doc pairs across different sources -> distinct-query-doc
+    counts per source pair -> best candidate per source (most matched docs,
+    ties to the larger candidate site by total tokens, then lexicographic)."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash()},
+meta AS (
+    SELECT doc_id,
+           source AS site,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+               AS n_tokens
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+sym AS (
+    SELECT id_lo AS q_id, id_hi AS c_id FROM pairs
+    UNION ALL SELECT id_hi, id_lo FROM pairs
+),
+dp AS (
+    SELECT s.q_id, mq.site AS q_site, mc2.site AS c_site
+    FROM sym s
+    JOIN meta mq ON s.q_id = mq.doc_id
+    JOIN meta mc2 ON s.c_id = mc2.doc_id
+    WHERE mq.site <> mc2.site
+),
+mc AS (
+    SELECT q_site, c_site, count(DISTINCT q_id)::BIGINT AS n_matched_docs
+    FROM dp GROUP BY q_site, c_site
+),
+site_size AS (
+    SELECT site, sum(n_tokens)::BIGINT AS site_tokens FROM meta GROUP BY site
+),
+ranked AS (
+    SELECT mc.q_site, mc.c_site AS best_site, mc.n_matched_docs, ss.site_tokens,
+           row_number() OVER (
+               PARTITION BY mc.q_site
+               ORDER BY mc.n_matched_docs DESC, ss.site_tokens DESC, mc.c_site ASC
+           ) AS rn
+    FROM mc JOIN site_size ss ON mc.c_site = ss.site
+)
+SELECT q_site, best_site, n_matched_docs, site_tokens
+FROM ranked WHERE rn = 1 ORDER BY q_site"""
+
+
 def sql_user_sessions(gap_sec: int = 1800) -> str:
     return f"""
 WITH w AS (

@@ -505,6 +505,32 @@ def q_masked_match_candidates(spark, sf_dir):
     ).select("q_id", "c_id", "q_source", "c_source")
 
 
+def q_best_matching_source(spark, sf_dir):
+    """A6+A8+R1 at container level through the engine's report surface:
+    SimHash radius pairs (r=6) -> per-(q_source, c_source) distinct-query-doc
+    match counts (engine/report.site_match_counts) -> single best candidate
+    per source with most-matches / larger-candidate-site / lexicographic
+    tie-breaks (engine/report.best_matching_site) — the reference's headline
+    interactive answer (/root/reference/deduplicator/ProcessArchive.py:599-670)
+    as one declarative corpus-wide plan, every container answered at once."""
+    from ..engine.report import best_matching_site, site_match_counts
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("site"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        simhash64_udf(F.col("text")).alias("simhash"),
+    )
+    pairs = banded_self_join(
+        docs, "id", "simhash", SEARCH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+    ).withColumn("kind", F.lit("simhash"))
+    mc = site_match_counts(pairs, docs)
+    return best_matching_site(mc, docs).select(
+        "q_site", "best_site", "n_matched_docs", "site_tokens"
+    )
+
+
 # --- events (sessionization / windows) -----------------------------------------
 
 def epoch_seconds_tz_free(df: DataFrame, col: str):

@@ -14,6 +14,7 @@ from pyspark.sql import Row, functions as F
 from intraarchivededuplicator_spark.functions.multimodal import (
     DECODED_SCHEMA,
     FEATURE_DIM,
+    MEDIA_SCHEMA,
     decode_media,
     frame_sample,
     media_near_dup_pairs,
@@ -151,12 +152,121 @@ class TestMultimodal:
         assert rows[1]["n_frames"] == 1 and rows[3]["n_frames"] > 1
         assert rows[4]["features"] is None and rows[4]["n_bytes"] == 0
 
-    def test_real_backend_is_explicit_stub(self, spark):
+    def test_real_backend_audio_video_is_explicit_stub(self, spark):
         with pytest.raises(Exception) as ei:
             decode_media(_media(spark), decode_backend="real").collect()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+    def test_real_backend_decodes_ppm_golden(self, spark):
+        """decode_backend='real' on genuine image bytes (binary PPM, no codec
+        needed), checked against an independently computed luma + mean-pool."""
+        w = h = 16
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += bytes([(x * 16) % 256, (y * 16) % 256, (x * y) % 256])
+        ppm = b"P6\n# golden\n16 16\n255\n" + bytes(px)
+        rows = [Row(media_id=1, url="p.ppm", media_type="image", payload=ppm)]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert (out["width"], out["height"]) == (16, 16)
+        assert len(out["features"]) == FEATURE_DIM
+        # independent expectation: plain-Python luma + 2x2 block means
+        gray = [
+            [
+                px[(y * w + x) * 3] * 0.299
+                + px[(y * w + x) * 3 + 1] * 0.587
+                + px[(y * w + x) * 3 + 2] * 0.114
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        pooled = [
+            sum(gray[2 * gy + dy][2 * gx + dx] for dy in (0, 1) for dx in (0, 1)) / 4
+            for gy in range(8)
+            for gx in range(8)
+        ]
+        mean = sum(pooled) / 64
+        cent = [v - mean for v in pooled]
+        norm = sum(v * v for v in cent) ** 0.5
+        want = [v / norm for v in cent]
+        got = out["features"]
+        assert max(abs(a - b) for a, b in zip(got, want)) < 1e-5
+
+    def test_real_backend_ppm_bmp_same_pixels_same_features(self, spark):
+        """The same pixel grid through two real container formats (PPM P6 and
+        bottom-up 24-bit BMP) must decode to identical features — format
+        plumbing must not leak into the signature."""
+        w = h = 8
+        pix = [
+            [(x * 31 % 256, y * 53 % 256, (x + y) * 17 % 256) for x in range(w)]
+            for y in range(h)
+        ]
+        ppm = b"P6\n8 8\n255\n" + bytes(
+            b for row in pix for (r, g, bl) in row for b in (r, g, bl)
+        )
+        stride = (w * 3 + 3) & ~3
+        bmp_rows = b"".join(
+            bytes(b for (r, g, bl) in row for b in (bl, g, r)).ljust(stride, b"\0")
+            for row in reversed(pix)
+        )
+        bmp = (
+            b"BM"
+            + (54 + len(bmp_rows)).to_bytes(4, "little")
+            + b"\0\0\0\0"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(bmp_rows).to_bytes(4, "little")
+            + b"\0" * 16
+            + bmp_rows
+        )
+        rows = [
+            Row(media_id=1, url="a.ppm", media_type="image", payload=ppm),
+            Row(media_id=2, url="a.bmp", media_type="image", payload=bmp),
+        ]
+        got = {
+            r["media_id"]: r
+            for r in decode_media(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA),
+                decode_backend="real",
+            ).collect()
+        }
+        assert (got[1]["width"], got[1]["height"]) == (8, 8)
+        assert got[1]["features"] == got[2]["features"]
+
+    def test_real_backend_pil_png(self, spark):
+        """PIL pathway when installed; skips cleanly in codec-free containers."""
+        PILImage = pytest.importorskip("PIL.Image")
+        import io
+
+        im = PILImage.new("RGB", (16, 16), (120, 30, 200))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows = [
+            Row(media_id=1, url="c.png", media_type="image", payload=buf.getvalue())
+        ]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert (out["width"], out["height"]) == (16, 16)
+        assert len(out["features"]) == FEATURE_DIM
+
+    def test_real_backend_undecodable_image_quarantined(self, spark):
+        rows = [
+            Row(media_id=1, url="x.bin", media_type="image", payload=b"\xff" * 64)
+        ]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert out["features"] is None and out["n_bytes"] == 64
 
     def test_frame_sample(self, spark):
         dec = decode_media(_media(spark))

@@ -184,6 +184,29 @@ def test_containment_operator_differential(spark, corpus):
     assert got == expect
 
 
+def test_containment_boundary_anchor_not_missed(spark):
+    """ADVICE r2 regression: with a single min-df anchor, a mid-token cut
+    whose boundary shingle gains df>=2 from a THIRD doc (here: an exact copy
+    of the inner) becomes the rarest anchor — it is absent from the outer, so
+    the true (inner, outer) pair was silently missed. Multi-anchor candidacy
+    (2*(k-1)+1 rarest) must recover it."""
+    words = [f"w{i:02d}" for i in range(40)]
+    outer = " ".join(words)
+    inner = outer[2:]  # cut mid-token: first token becomes '00' -> boundary
+    rows = [
+        (1, inner),      # inner candidate
+        (2, outer),      # true container
+        (3, inner),      # exact copy: boundary shingles now df>=2 but the
+                         # copy is not a valid outer (equal length)
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(docs, "id", "text", 5).collect()
+    }
+    assert (1, 2) in got and (3, 2) in got
+
+
 def test_checkpoint_resume(spark, corpus, tmp_path):
     """Stage outputs are reused on resume (S4 incremental-skip analog)."""
     from intraarchivededuplicator_spark.engine.checkpoint import StageCheckpointer

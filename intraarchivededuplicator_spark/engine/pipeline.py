@@ -38,6 +38,20 @@ def config_fingerprint(cfg: DedupConfig) -> str:
     return _hashlib.md5(repr(cfg).encode()).hexdigest()
 
 
+class _ResumedStageMetrics:
+    """Observation stand-in for a checkpoint-resumed stage: the stage's
+    compute (and its .observe action) never ran, so a live Observation.get
+    would block indefinitely. Surfaces the lineage sidecar's counters with
+    the same .get property shape instead."""
+
+    def __init__(self, meta: dict):
+        self._meta = meta
+
+    @property
+    def get(self) -> dict:
+        return {"resumed": True, "output_rows": self._meta.get("output_rows")}
+
+
 def compute_docs(
     pages: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -273,10 +287,19 @@ def dedup_pipeline(
     # normal actions as accumulators (the uiFrontend progress-tag analog,
     # /root/reference/deduplicator/ProcessArchive.py status logging) — no
     # extra jobs, readable after each stage materializes via
-    # out["observations"][stage].get
+    # out["observations"][stage].get. For a RESUMED checkpoint stage no
+    # action executes, so the live Observation would block forever on .get
+    # (ADVICE r2) — those entries are swapped for the sidecar's metrics.
     from pyspark.sql import Observation
 
     obs = {"docs": Observation("docs"), "pairs": Observation("pairs")}
+
+    def _finalize_obs(stage: str) -> None:
+        for m in reversed(ck.metrics):
+            if m.get("stage") == stage:
+                if m.get("resumed"):
+                    obs[stage] = _ResumedStageMetrics(m)
+                return
 
     # a narrow source (one parquet file, one kafka partition) must not
     # serialize the Arrow UDF stages, and raw scan partitions are often
@@ -308,6 +331,7 @@ def dedup_pipeline(
             ),
         ),
     )
+    _finalize_obs("docs")
     if isinstance(ck, NullCheckpointer):
         # without a materializing checkpointer the pair legs would each
         # recompute the signature UDFs — cache AND materialize now. The
@@ -355,6 +379,7 @@ def dedup_pipeline(
             ),
         ),
     )
+    _finalize_obs("pairs")
     if isinstance(ck, NullCheckpointer):
         pairs = pairs.persist()
         pairs.count()

@@ -68,33 +68,43 @@ def containment_pairs(
     JVM-side with array_except) -> texts joined for the few survivors ->
     per-outer-doc suffix-array verify.
 
-    Singleton pruning: if inner ⊂ outer, every *interior* inner shingle (all
-    but the first/last k-1 positions, which a mid-token substring boundary
-    can perturb) also occurs in the outer doc, so its document frequency is
-    >= 2. A doc whose shingles are (near-)all df=1 can never be an inner —
-    and on web corpora most shingles are df=1, so the anchor computation
-    joins/aggregates only the df>=2 slice of the exploded shingle table
-    instead of all of it (measured 5x on the anchor stage). The boundary
-    tolerance is 2*(k_shingle-1) shingles on both the all-multi gate and the
-    subset filter; the suffix-array verify downstream is exact either way.
+    Singleton pruning: if inner ⊂ outer, every *interior* inner shingle also
+    occurs in the outer doc, so its document frequency is >= 2. A doc whose
+    shingles are (near-)all df=1 can never be an inner — and on web corpora
+    most shingles are df=1, so only the df>=2 slice of the shingle table
+    flows into the per-doc anchor aggregation. Boundary tolerance: a
+    mid-token substring cut turns the first and last inner token into
+    fragments, and a fragment token appears in exactly ONE sliding-window
+    shingle (token 0 is only in shingle 0; token n-1 only in shingle n-k),
+    so at most 2 inner shingles can be perturbed — the tolerance on the
+    all-multi gate and the subset filter is the constant 2, independent of
+    k_shingle; the suffix-array verify downstream is exact either way.
 
-    Skew: anchors are each doc's 2*(k-1)+1 globally RAREST df>=2 shingles
-    (min by document frequency, hash tie-break) — rarest-first because any
-    inner shingle genuinely shared with the outer works as an anchor and the
-    rarest is the most selective; 2*(k-1)+1 of them because up to 2*(k-1)
-    boundary shingles can be perturbed by a mid-token substring cut AND still
-    have df>=2 via some third doc, so a single min-anchor could be absent
-    from the outer and silently miss the pair (ADVICE r2) — by pigeonhole at
-    least one of 2*(k-1)+1 distinct df>=2 shingles is interior, and interior
-    shingles of a contained doc always occur in the outer. A common shingle
-    can therefore never accumulate a large anchor group; only true
-    near-identical mega-clusters (where every shingle is shared by all m
-    members) stay hot, and anchor slots whose inner x df product exceeds
-    hot_anchor_cap are skipped (per slot — a doc skipped on one hot anchor
-    still joins via its other anchors) — residual connectivity is the
-    SimHash/Jaccard legs' job (the reference's >100-candidate skip,
+    Skew: anchors are each doc's 3 globally RAREST df>=2 shingles (min by
+    document frequency, hash tie-break) — rarest-first because any inner
+    shingle genuinely shared with the outer works as an anchor and the
+    rarest is the most selective; 3 of them because up to 2 boundary
+    shingles (one fragment shingle per end, see above) can be perturbed by a
+    mid-token substring cut AND still have df>=2 via some third doc, so a
+    single min-anchor could be absent from the outer and silently miss the
+    pair (ADVICE r2) — by pigeonhole at least one of 3 distinct df>=2
+    shingles is interior, and interior shingles of a contained doc always
+    occur in the outer. A common shingle can therefore never accumulate a
+    large anchor group; only true near-identical mega-clusters (where every
+    shingle is shared by all m members) stay hot, and anchor slots whose
+    inner x df product exceeds hot_anchor_cap are skipped (per slot — a doc
+    skipped on one hot anchor still joins via its other anchors) — residual
+    connectivity is the SimHash/Jaccard legs' job (the reference's
+    >100-candidate skip,
     /root/reference/deduplicator/ProcessArchive.py:504-513). None disables
     the cap.
+
+    Shuffle budget (the scale story): three corpus x shingle-sized
+    exchanges — df groupBy, the df>=2 join-back, and one per-doc window
+    that yields the anchor ranking AND the shared-shingle count together.
+    These are the flagship's largest exchanges; on a single box they cap at
+    the host's shuffle-throughput ceiling (see BENCH/BASELINE.md), on a
+    real cluster they scale with executor count like any keyed exchange.
 
     broadcast_anchors: the anchor-set semi-join that prunes the exploded
     outer-shingle table is map-side (broadcast) by default — one long per
@@ -109,7 +119,8 @@ def containment_pairs(
             "_sh", make_shingle_hashes_udf(k_shingle)(F.col(text_col))
         )
         shingle_col = "_sh"
-    slack = 2 * (k_shingle - 1)
+    # one fragment shingle per end at most (see docstring) — NOT k-dependent
+    slack = 2
     base = docs.filter(F.col(shingle_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
@@ -120,17 +131,20 @@ def containment_pairs(
     # is only defined for inner docs of at least one shingle (degenerate/empty
     # docs are the blacklist's business, not this operator's).
     exploded = base.select(F.col("_id"), F.col("_len"), F.explode("_sh").alias("s"))
+    from pyspark.sql.window import Window
+
+    n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
     multi = (
         exploded.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
-    from pyspark.sql.window import Window
-
-    n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
     shared = exploded.join(multi, "s")
     # one shuffle on _id yields both the rarest-anchor ranking and the
-    # shared-shingle count (window pair instead of a groupBy + re-join)
+    # shared-shingle count (window pair instead of a groupBy + re-join).
+    # (A collect_list-packed 2-exchange variant was measured and rejected:
+    # ObjectHashAggregate's sort-based fallback at high key cardinality made
+    # it 2-8x slower than this join+window plan.)
     ranked = shared.select(
         "_id",
         "_len",

@@ -224,6 +224,11 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     out2 = dedup_pipeline(spark, small, CFG, checkpointer=ck2)
     assert all(m["resumed"] for m in ck2.metrics)
     assert out2["clusters"].count() == n1
+    # ADVICE r2: resumed stages must expose sidecar counters, not a live
+    # Observation whose .get would block forever (no action ever ran)
+    for stage in ("docs", "pairs"):
+        got = out2["observations"][stage].get
+        assert got["resumed"] and got["output_rows"] > 0
 
     # config change invalidates the checkpoint
     ck3 = StageCheckpointer(root=str(tmp_path))

@@ -180,26 +180,66 @@ def orchestrate() -> None:
         "rows": N_ROWS,
         "runs": [r8, r32],
     }
+    # merge with pairs measured by earlier invocations (e.g. 2->8 AND 8->32
+    # published side by side); top-level fields stay the freshest pair so
+    # single-pair consumers keep working
+    merged: dict[str, dict] = {}
+    if os.path.exists(OUT_JSON):
+        try:
+            with open(OUT_JSON) as f:
+                prev = json.load(f)
+            for p in prev.get("all_pairs", [prev] if "metric" in prev else []):
+                merged[p["metric"]] = {
+                    k: v for k, v in p.items() if k != "all_pairs"
+                }
+        except (json.JSONDecodeError, KeyError):
+            pass
+    merged[summary["metric"]] = summary
+    all_pairs = sorted(
+        merged.values(), key=lambda p: int(p["metric"].split("_")[2])
+    )
     os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
     with open(OUT_JSON, "w") as f:
-        json.dump(summary, f, indent=2)
+        json.dump({**summary, "all_pairs": all_pairs}, f, indent=2)
 
-    identical = (
-        r8["n_pairs"] == r32["n_pairs"]
-        and r8["truth_pairs_same_cluster"] == r32["truth_pairs_same_cluster"]
-        and r8["n_clustered"] == r32["n_clustered"]
-    )
-    ident_line = (
-        "- Results are IDENTICAL across parallelism levels (asserted from the "
-        f"two runs: pairs {r8['n_pairs']} == {r32['n_pairs']}, same-cluster "
-        f"truth pairs {r8['truth_pairs_same_cluster']} == "
-        f"{r32['truth_pairs_same_cluster']}): the plan is deterministic under "
-        "repartitioning."
-        if identical
-        else "- WARNING: results DIFFER between parallelism levels — "
-        f"pairs {r8['n_pairs']} vs {r32['n_pairs']}, same-cluster truth pairs "
-        f"{r8['truth_pairs_same_cluster']} vs {r32['truth_pairs_same_cluster']}."
-    )
+    sections = []
+    for p in all_pairs:
+        a, b = p["runs"]
+        plo, phi = a["cpus"], b["cpus"]
+        identical = (
+            a["n_pairs"] == b["n_pairs"]
+            and a["truth_pairs_same_cluster"] == b["truth_pairs_same_cluster"]
+            and a["n_clustered"] == b["n_clustered"]
+        )
+        ident_line = (
+            "- Results are IDENTICAL across parallelism levels (asserted from "
+            f"the two runs: pairs {a['n_pairs']} == {b['n_pairs']}, "
+            f"same-cluster truth pairs {a['truth_pairs_same_cluster']} == "
+            f"{b['truth_pairs_same_cluster']}): the plan is deterministic "
+            "under repartitioning."
+            if identical
+            else "- WARNING: results DIFFER between parallelism levels — "
+            f"pairs {a['n_pairs']} vs {b['n_pairs']}, same-cluster truth "
+            f"pairs {a['truth_pairs_same_cluster']} vs "
+            f"{b['truth_pairs_same_cluster']}."
+        )
+        sections.append(
+            f"""## local[{plo}] -> local[{phi}] ({p['rows']} rows)
+
+| parallelism | wall (s) | docs/sec | pairs | canary (s) | dup-pair recall vs truth |
+|---|---|---|---|---|---|
+| local[{plo}]  | {a['wall_sec']} | {a['docs_per_sec']} | {a['n_pairs']} | {a['canary_sec']} | {a['dup_pair_recall']} |
+| local[{phi}] | {b['wall_sec']} | {b['docs_per_sec']} | {b['n_pairs']} | {b['canary_sec']} | {b['dup_pair_recall']} |
+
+- **speedup {plo}->{phi} cores: {p['speedup']:.2f}x; scaling efficiency = {p['speedup']:.2f}/{phi // plo} = {p['value']:.3f}**
+  ({'meets' if p['value'] >= 0.8 else 'below'} the >= 0.8 bar)
+- dup-pair recall = fraction of ground-truth-linked (url, base_url) pairs
+  assigned the same cluster_id ({b['truth_pairs_same_cluster']}/{b['truth_pairs']} at local[{phi}]);
+  north-rule bar is >= 0.99.
+{ident_line}
+"""
+        )
+    body = "\n".join(sections)
     with open(OUT_MD, "w") as f:
         f.write(
             f"""# Scaling & throughput baseline (sandbox evidence)
@@ -207,27 +247,17 @@ def orchestrate() -> None:
 North rule: throughput scaling efficiency >= 0.8 between N and 4N executors.
 No real cluster exists in this sandbox; per the survey's stated protocol the
 same flagship job (HTML extract -> signatures -> exact + banded-Hamming +
-containment + verified-Jaccard pairs -> union-find clusters) runs at
-local[{lo}] and local[{hi}] on the identical {N_ROWS}-row seed-pinned corpus, each in a
+containment + verified-Jaccard pairs -> union-find clusters) runs at two
+parallelism levels on the identical seed-pinned corpus, each level in a
 fresh JVM, after a 10%-sample JIT warm-up pass, best of {ATTEMPTS} attempts
 per level (the sandbox host throttles guest CPU episodically; each run
 records a single-core canary so attempts are comparable — see
 tools/scaling_bench.cpu_canary).
 
-| parallelism | wall (s) | docs/sec | pairs | canary (s) | dup-pair recall vs truth |
-|---|---|---|---|---|---|
-| local[{lo}]  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['n_pairs']} | {r8['canary_sec']} | {r8['dup_pair_recall']} |
-| local[{hi}] | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['n_pairs']} | {r32['canary_sec']} | {r32['dup_pair_recall']} |
-
-- **speedup {lo}->{hi} cores: {speedup:.2f}x; scaling efficiency = {speedup:.2f}/{hi // lo} = {efficiency:.3f}**
-  ({'meets' if efficiency >= 0.8 else 'below'} the >= 0.8 bar)
-- dup-pair recall = fraction of ground-truth-linked (url, base_url) pairs
-  assigned the same cluster_id ({r32['truth_pairs_same_cluster']}/{r32['truth_pairs']} at local[{hi}]);
-  north-rule bar is >= 0.99.
-{ident_line}
-
+{body}
 Regenerate: `python tools/scaling_bench.py` (corpus cached in /tmp;
-SCALE_ROWS / SCALE_ATTEMPTS env knobs).
+SCALE_ROWS / SCALE_LEVELS / SCALE_ATTEMPTS env knobs; pairs from separate
+invocations are merged into this file).
 """
         )
     print(json.dumps(summary))

@@ -130,7 +130,10 @@ def containment_pairs(
     # docs with < k_shingle tokens have no anchor and are skipped: containment
     # is only defined for inner docs of at least one shingle (degenerate/empty
     # docs are the blacklist's business, not this operator's).
-    exploded = base.select(F.col("_id"), F.col("_len"), F.explode("_sh").alias("s"))
+    # the exploded stream feeds the flagship's LARGEST exchanges — keep its
+    # rows minimal (id + shingle hash only; lengths re-join at candidate
+    # scale, which is orders of magnitude smaller)
+    exploded = base.select(F.col("_id"), F.explode("_sh").alias("s"))
     from pyspark.sql.window import Window
 
     n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
@@ -147,7 +150,6 @@ def containment_pairs(
     # it 2-8x slower than this join+window plan.)
     ranked = shared.select(
         "_id",
-        "_len",
         "s",
         "df",
         F.row_number()
@@ -155,9 +157,11 @@ def containment_pairs(
         .alias("_rn"),
         F.count("*").over(Window.partitionBy("_id")).alias("_n_multi"),
     ).filter(F.col("_rn") <= n_anchors)
-    n_sh = base.select(F.col("_id"), F.size("_sh").alias("_n_sh"))
+    meta = base.select(
+        F.col("_id"), F.col("_len"), F.size("_sh").alias("_n_sh")
+    )
     inner = (
-        ranked.join(n_sh, "_id")
+        ranked.join(meta, "_id")
         # inner docs: every shingle shared, minus boundary tolerance
         .filter(F.col("_n_multi") >= F.col("_n_sh") - slack)
         .select(
@@ -182,19 +186,24 @@ def containment_pairs(
     # map-side (zero shuffle of it); with broadcast_anchors=False both sides
     # shuffle-partition on the shingle hash (the 10^9+-doc plan).
     outer = exploded.select(
-        F.col("_id").alias("outer_id"),
-        F.col("_len").alias("outer_len"),
-        F.col("s").alias("anchor"),
+        F.col("_id").alias("outer_id"), F.col("s").alias("anchor")
     )
 
     cand = (
         outer.join(inner, "anchor")
-        .filter(
-            (F.col("inner_id") != F.col("outer_id"))
-            & (F.col("inner_len") < F.col("outer_len"))
-        )
-        .select("outer_id", "inner_id")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("outer_id", "inner_id", "inner_len")
         .dropDuplicates(["outer_id", "inner_id"])
+        # outer lengths re-join at candidate scale; the strict inner<outer
+        # length gate must run BEFORE the fat shingle-array joins below
+        .join(
+            base.select(
+                F.col("_id").alias("outer_id"), F.col("_len").alias("outer_len")
+            ).hint("shuffle_hash"),
+            "outer_id",
+        )
+        .filter(F.col("inner_len") < F.col("outer_len"))
+        .select("outer_id", "inner_id")
     )
     # necessary condition, JVM-side: inner shingle set ⊆ outer's, tolerating
     # up to `slack` boundary shingles perturbed by a mid-token substring cut

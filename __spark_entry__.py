@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q.q_simhash_clusters,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
+        "similar_sources_truncated": q.q_similar_sources_truncated,
+        "quality_match_counts": q.q_quality_match_counts,
+        "source_uniqueness": q.q_source_uniqueness,
         "match_count_histogram": q.q_match_count_histogram,
         # MinHash family (H3, LSH)
         "minhash_signatures_long": q.q_minhash_signatures_long,
@@ -103,6 +106,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
         "best_simhash_match": o.sql_best_simhash_match(SEARCH_RADIUS),
         "best_matching_source": o.sql_best_matching_source(SEARCH_RADIUS),
+        "similar_sources_truncated": o.sql_similar_sources_truncated(
+            q.TRUNC_RADIUS
+        ),
+        "quality_match_counts": o.sql_quality_match_counts(SEARCH_RADIUS),
+        "source_uniqueness": o.sql_source_uniqueness(SEARCH_RADIUS),
         "match_count_histogram": o.sql_match_count_histogram(SIMHASH_RADIUS),
         "minhash_signatures_long": o.sql_minhash_long(ORACLE_MINHASH, K_SHINGLE),
         "minhash_band_pairs": o.sql_minhash_band_pairs(

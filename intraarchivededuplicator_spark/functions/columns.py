@@ -19,8 +19,9 @@ def hamming(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def band_key(sig: Column | str, band_idx: int, band_width: int) -> Column:
-    """Extract band ``band_idx`` (LSB-first) of width ``band_width`` bits.
+def band_key(sig: Column | str, bit_offset: int, band_width: int) -> Column:
+    """Extract the band starting at ``bit_offset`` (LSB-first) of width
+    ``band_width`` bits.
 
     Logical shift so the sign bit never leaks into other bands. This is the
     LSH layout that replaces the BK-tree's metric pruning
@@ -32,16 +33,33 @@ def band_key(sig: Column | str, band_idx: int, band_width: int) -> Column:
     if band_width == 64:
         return sig  # single full-width band: the signature is the key
     mask = F.lit((1 << band_width) - 1).cast("long")
-    return F.shiftrightunsigned(sig, band_idx * band_width).bitwiseAND(mask)
+    return F.shiftrightunsigned(sig, bit_offset).bitwiseAND(mask)
+
+
+def band_widths(n_bands: int) -> list[int]:
+    """Partition 64 bits into ``n_bands`` contiguous bands, widest first.
+
+    For n_bands dividing 64 all bands are equal (the historical layout);
+    otherwise the first ``64 % n_bands`` bands carry one extra bit
+    (e.g. 5 -> [13, 13, 13, 13, 12]). Fewer, wider bands are the scale lever:
+    full recall at Hamming radius r needs only r+1 bands (pigeonhole), and a
+    13-bit band key is 32x more selective than an 8-bit one, so the
+    band-equi-join's candidate volume drops by the same factor.
+    """
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in 1..64, got {n_bands}")
+    base, extra = divmod(64, n_bands)
+    return [base + 1] * extra + [base] * (n_bands - extra)
 
 
 def band_keys_array(sig: Column | str, n_bands: int) -> Column:
-    """Array of all band keys for a signature; 64 must divide evenly."""
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    w = 64 // n_bands
+    """Array of all band keys for a signature (LSB-first, contiguous)."""
     sig = F.col(sig) if isinstance(sig, str) else sig
-    return F.array(*[band_key(sig, i, w) for i in range(n_bands)])
+    keys, offset = [], 0
+    for w in band_widths(n_bands):
+        keys.append(band_key(sig, offset, w))
+        offset += w
+    return F.array(*keys)
 
 
 def tokens(text: Column | str) -> Column:

@@ -614,15 +614,15 @@ SELECT q_id, c_id, q_source, c_source FROM j
 WHERE ({pos}) AND {neg} AND {kw}"""
 
 
-def sql_best_matching_source(radius: int, blacklist=(0,)) -> str:
-    """Container-level A6+R1 twin of engine/report.{site_match_counts,
-    best_matching_site}: brute-force SimHash radius pairs -> symmetric
-    (query, candidate) doc pairs across different sources -> distinct-query-doc
-    counts per source pair -> best candidate per source (most matched docs,
-    ties to the larger candidate site by total tokens, then lexicographic)."""
+def _cte_site_match_counts(radius: int, blacklist=(0,), quality_theta: bool = False) -> str:
+    """CTEs ending in `mc(q_site, c_site, n_matched_docs)` — the A6 site-level
+    match aggregation (engine/report.site_match_counts twin): brute-force
+    SimHash radius pairs -> symmetric cross-source doc pairs ->
+    distinct-query-doc counts per source pair. quality_theta adds the P8
+    candidate-not-smaller-than-query filter."""
     bl = ", ".join(str(b) for b in blacklist) or "NULL"
-    return f"""
-WITH {cte_simhash()},
+    theta = "AND mc2.n_tokens >= mq.n_tokens" if quality_theta else ""
+    return f"""{cte_simhash()},
 meta AS (
     SELECT doc_id,
            source AS site,
@@ -645,12 +645,21 @@ dp AS (
     FROM sym s
     JOIN meta mq ON s.q_id = mq.doc_id
     JOIN meta mc2 ON s.c_id = mc2.doc_id
-    WHERE mq.site <> mc2.site
+    WHERE mq.site <> mc2.site {theta}
 ),
 mc AS (
     SELECT q_site, c_site, count(DISTINCT q_id)::BIGINT AS n_matched_docs
     FROM dp GROUP BY q_site, c_site
-),
+)"""
+
+
+def sql_best_matching_source(radius: int, blacklist=(0,)) -> str:
+    """Container-level A6+R1 twin of engine/report.{site_match_counts,
+    best_matching_site}: match counts -> best candidate per source (most
+    matched docs, ties to the larger candidate site by total tokens, then
+    lexicographic)."""
+    return f"""
+WITH {_cte_site_match_counts(radius, blacklist)},
 site_size AS (
     SELECT site, sum(n_tokens)::BIGINT AS site_tokens FROM meta GROUP BY site
 ),
@@ -664,6 +673,44 @@ ranked AS (
 )
 SELECT q_site, best_site, n_matched_docs, site_tokens
 FROM ranked WHERE rn = 1 ORDER BY q_site"""
+
+
+def sql_similar_sources_truncated(radius: int, blacklist=(0,)) -> str:
+    """A8 mean-threshold truncation twin (engine/report.significantly_similar_sites):
+    keep (q_source, c_source) rows with n_matched_docs >= per-q_source mean
+    and n_matched_docs > 1."""
+    return f"""
+WITH {_cte_site_match_counts(radius, blacklist)},
+withmean AS (
+    SELECT q_site, c_site, n_matched_docs,
+           avg(n_matched_docs) OVER (PARTITION BY q_site) AS m
+    FROM mc
+)
+SELECT q_site AS q_source, c_site AS c_source, n_matched_docs
+FROM withmean
+WHERE n_matched_docs >= m AND n_matched_docs > 1
+ORDER BY q_source, c_source"""
+
+
+def sql_quality_match_counts(radius: int, blacklist=(0,)) -> str:
+    """P8 quality-theta match counts twin (site_match_counts(quality_theta=True)):
+    candidate docs smaller than the query doc do not count."""
+    return f"""
+WITH {_cte_site_match_counts(radius, blacklist, quality_theta=True)}
+SELECT q_site AS q_source, c_site AS c_source, n_matched_docs
+FROM mc ORDER BY q_source, c_source"""
+
+
+def sql_source_uniqueness(radius: int, blacklist=(0,)) -> str:
+    """C2/A2 uniqueness twin (engine/report.site_uniqueness): a source is
+    unique iff it appears in no cross-source match-count row."""
+    return f"""
+WITH {_cte_site_match_counts(radius, blacklist)}
+SELECT d.source AS source,
+       (mc.q_site IS NULL) AS is_unique
+FROM (SELECT DISTINCT source FROM documents) d
+LEFT JOIN (SELECT DISTINCT q_site FROM mc) mc ON d.source = mc.q_site
+ORDER BY source"""
 
 
 def sql_user_sessions(gap_sec: int = 1800) -> str:

@@ -27,8 +27,10 @@ from ..operators.lsh import minhash_candidate_pairs
 ORACLE_MINHASH = MinHashParams.make(k=16, seed=42)
 K_SHINGLE = 5
 SIMHASH_RADIUS = 4
-SIMHASH_BANDS = 8
 SEARCH_RADIUS = 6
+TRUNC_RADIUS = 8  # A8 truncation gate: wide enough that sf0.01 counts exceed 1
+# n_bands is left to bands_for_radius(radius): r+1 maximally-wide bands give
+# the identical verified pair set with the most selective candidate join
 
 EMB_SCALE = 1_000_000
 
@@ -76,7 +78,7 @@ def q_simhash_signatures(spark, sf_dir):
 def q_simhash_radius_pairs(spark, sf_dir):
     d = docs_with_sig(spark, sf_dir)
     return banded_self_join(
-        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
     ).select("id_lo", "id_hi", F.col("distance").cast("int").alias("distance"))
 
 
@@ -95,7 +97,6 @@ def q_simhash_radius_search(spark, sf_dir):
         corpus_sig="simhash",
         query_id="doc_id",
         query_sig="simhash",
-        n_bands=SIMHASH_BANDS,
     )
     return out.select(
         F.col("q_id").cast("long").alias("q_id"),
@@ -107,7 +108,7 @@ def q_simhash_radius_search(spark, sf_dir):
 def q_simhash_clusters(spark, sf_dir):
     d = docs_with_sig(spark, sf_dir)
     pairs = banded_self_join(
-        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
     )
     return (
         assign_clusters(d.select(F.col("doc_id").alias("id")), pairs)
@@ -120,7 +121,7 @@ def q_best_simhash_match(spark, sf_dir):
     (/root/reference/deduplicator/ProcessArchive.py:264-300)."""
     d = docs_with_sig(spark, sf_dir)
     pairs = banded_self_join(
-        d, "doc_id", "simhash", SEARCH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+        d, "doc_id", "simhash", SEARCH_RADIUS, blacklist=(0,)
     )
     sym = pairs.select(
         F.col("id_lo").alias("doc_id"), F.col("id_hi").alias("match_id"), "distance"
@@ -145,7 +146,7 @@ def q_match_count_histogram(spark, sf_dir):
     """A7 histogram inversion over radius-pair match counts."""
     d = docs_with_sig(spark, sf_dir)
     pairs = banded_self_join(
-        d, "doc_id", "simhash", SIMHASH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
     )
     sym = pairs.select(F.col("id_lo").alias("doc_id")).unionByName(
         pairs.select(F.col("id_hi").alias("doc_id"))
@@ -505,6 +506,22 @@ def q_masked_match_candidates(spark, sf_dir):
     ).select("q_id", "c_id", "q_source", "c_source")
 
 
+def _report_docs_and_pairs(spark, sf_dir, radius: int = SEARCH_RADIUS):
+    """Shared input for the container-level report family: docs with
+    (id, site, n_tokens, simhash) plus SimHash radius pairs (default r=6)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("site"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        simhash64_udf(F.col("text")).alias("simhash"),
+    )
+    pairs = banded_self_join(
+        docs, "id", "simhash", radius, blacklist=(0,)
+    ).withColumn("kind", F.lit("simhash"))
+    return docs, pairs
+
+
 def q_best_matching_source(spark, sf_dir):
     """A6+A8+R1 at container level through the engine's report surface:
     SimHash radius pairs (r=6) -> per-(q_source, c_source) distinct-query-doc
@@ -515,19 +532,55 @@ def q_best_matching_source(spark, sf_dir):
     as one declarative corpus-wide plan, every container answered at once."""
     from ..engine.report import best_matching_site, site_match_counts
 
-    d = load(spark, sf_dir, "documents")
-    docs = d.select(
-        F.col("doc_id").alias("id"),
-        F.col("source").alias("site"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        simhash64_udf(F.col("text")).alias("simhash"),
-    )
-    pairs = banded_self_join(
-        docs, "id", "simhash", SEARCH_RADIUS, n_bands=SIMHASH_BANDS, blacklist=(0,)
-    ).withColumn("kind", F.lit("simhash"))
+    docs, pairs = _report_docs_and_pairs(spark, sf_dir)
     mc = site_match_counts(pairs, docs)
     return best_matching_site(mc, docs).select(
         "q_site", "best_site", "n_matched_docs", "site_tokens"
+    )
+
+
+def q_similar_sources_truncated(spark, sf_dir):
+    """A8 mean-threshold truncation over the A6 site match counts: keep
+    candidate sources with n_matched_docs >= mean(n) per query source and
+    n > 1 (/root/reference/deduplicator/ProcessArchive.py:192-208).
+
+    Radius 8 (vs the report family's 6) so the sf0.01 gate actually exercises
+    the n > 1 truncation branch — at r=6 every sf0.01 source pair matches on
+    exactly one doc and the truncated result is vacuously empty."""
+    from ..engine.report import significantly_similar_sites, site_match_counts
+
+    docs, pairs = _report_docs_and_pairs(spark, sf_dir, radius=TRUNC_RADIUS)
+    mc = site_match_counts(pairs, docs)
+    return significantly_similar_sites(mc).select(
+        F.col("q_site").alias("q_source"),
+        F.col("c_site").alias("c_source"),
+        "n_matched_docs",
+    )
+
+
+def q_quality_match_counts(spark, sf_dir):
+    """P8 quality-theta variant of the A6 aggregation: a candidate doc
+    smaller than the query doc does not count as a match (the imgx/imgy
+    resolution filter analog, /root/reference/deduplicator/ProcessArchive.py:451-457)."""
+    from ..engine.report import site_match_counts
+
+    docs, pairs = _report_docs_and_pairs(spark, sf_dir)
+    return site_match_counts(pairs, docs, quality_theta=True).select(
+        F.col("q_site").alias("q_source"),
+        F.col("c_site").alias("c_source"),
+        "n_matched_docs",
+    )
+
+
+def q_source_uniqueness(spark, sf_dir):
+    """C2/A2 uniqueness predicate per container: is_unique = EXISTS no
+    cross-source SimHash match at r=6 (isPhashUnique analog,
+    /root/reference/deduplicator/ProcessArchive.py:86-121)."""
+    from ..engine.report import site_uniqueness
+
+    docs, pairs = _report_docs_and_pairs(spark, sf_dir)
+    return site_uniqueness(pairs, docs, kinds=("simhash",)).select(
+        F.col("site").alias("source"), "is_unique"
     )
 
 

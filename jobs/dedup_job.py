@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-extract", action="store_true", help="input already has text")
     p.add_argument("--k-shingle", type=int, default=5)
     p.add_argument("--simhash-radius", type=int, default=4)
-    p.add_argument("--simhash-bands", type=int, default=8)
+    p.add_argument("--simhash-bands", type=int, default=5)
     p.add_argument("--minhash-k", type=int, default=128)
     p.add_argument("--minhash-bands", type=int, default=32)
     p.add_argument("--hot-band-threshold", type=int, default=500)

@@ -143,27 +143,50 @@ def containment_pairs(
         .filter(F.col("df") >= 2)
     )
     shared = exploded.join(multi, "s")
-    # one shuffle on _id yields both the rarest-anchor ranking and the
-    # shared-shingle count (window pair instead of a groupBy + re-join).
+    # Two-stage anchor build. Naively one window over `shared` partitioned by
+    # _id yields both the rarest-anchor ranking and the shared-shingle count,
+    # but that exchanges + sorts the ENTIRE corpus-x-df>=2 table (36M rows at
+    # 160k docs) while only the handful of docs passing the all-multi gate
+    # (near-fully-shared shingle sets — true containment/near-identical
+    # candidates, ~0.1% of a web corpus) ever need ranking. So:
+    #  1. per-doc df>=2 count via groupBy — partial aggregation collapses it
+    #     map-side, so the exchange carries slim (id, count) partials, not
+    #     the shared rows themselves;
+    #  2. gate against the doc's shingle-set size (inner docs: every shingle
+    #     shared, minus boundary tolerance);
+    #  3. window ONLY the passing docs' shared rows (broadcast semi-join
+    #     prunes map-side) — the rank exchange shrinks from corpus-sized to
+    #     candidate-sized.
     # (A collect_list-packed 2-exchange variant was measured and rejected:
     # ObjectHashAggregate's sort-based fallback at high key cardinality made
-    # it 2-8x slower than this join+window plan.)
-    ranked = shared.select(
-        "_id",
-        "s",
-        "df",
-        F.row_number()
-        .over(Window.partitionBy("_id").orderBy("df", "s"))
-        .alias("_rn"),
-        F.count("*").over(Window.partitionBy("_id")).alias("_n_multi"),
-    ).filter(F.col("_rn") <= n_anchors)
+    # it 2-8x slower. `shared`'s subtree appears in both branches below and
+    # its exchanges are deduped by ReuseExchange — written once, read twice.)
     meta = base.select(
         F.col("_id"), F.col("_len"), F.size("_sh").alias("_n_sh")
     )
-    inner = (
-        ranked.join(meta, "_id")
-        # inner docs: every shingle shared, minus boundary tolerance
+    passing = (
+        shared.groupBy("_id")
+        .agg(F.count("*").alias("_n_multi"))
+        .join(meta, "_id")
         .filter(F.col("_n_multi") >= F.col("_n_sh") - slack)
+        .select("_id", "_len")
+    )
+    if broadcast_anchors:
+        # bounded by construction at web scale (fully-shared-shingle docs);
+        # the 10^9+-doc plan keeps it a shuffle join like the anchor join
+        passing = F.broadcast(passing)
+    inner = (
+        shared.join(passing, "_id")
+        .select(
+            "_id",
+            "s",
+            "df",
+            "_len",
+            F.row_number()
+            .over(Window.partitionBy("_id").orderBy("df", "s"))
+            .alias("_rn"),
+        )
+        .filter(F.col("_rn") <= n_anchors)
         .select(
             F.col("_id").alias("inner_id"),
             F.col("_len").alias("inner_len"),

@@ -52,17 +52,27 @@ def run(cpus: int) -> None:
     pages = spark.read.parquet(f"{CORPUS_DIR}/pages.parquet")
     cfg = DedupConfig()
 
+    from tools.scaling_bench import cpu_canary
+
     phases: dict[str, float] = {}
+    canaries: dict[str, float] = {}
     last_end = [time.time()]
 
     def phase(name, fn):
+        # canary BEFORE each phase: the host throttles guest CPU episodically,
+        # so a per-phase canary makes each leg's wall time interpretable
+        canaries[name] = cpu_canary()
         t0 = time.time()
         gap = round(t0 - last_end[0], 2)
         out = fn()
         t1 = time.time()
         last_end[0] = t1
         phases[name] = round(t1 - t0, 2)
-        print(f"phase {name}: {phases[name]}s (gap {gap}s) -> {out}", file=sys.stderr)
+        print(
+            f"phase {name}: {phases[name]}s (gap {gap}s, canary {canaries[name]}s)"
+            f" -> {out}",
+            file=sys.stderr,
+        )
         return out
 
     t_all = time.time()
@@ -130,7 +140,7 @@ def run(cpus: int) -> None:
     total = time.time() - t_all
     spark.stop()
     print(json.dumps({"cpus": cpus, "rows": N_ROWS, "total": round(total, 1),
-                      "phases": phases}))
+                      "phases": phases, "canaries": canaries}))
 
 
 if __name__ == "__main__":

@@ -105,23 +105,37 @@ def banded_self_join(
         cold, hot = bands, None
     else:
         if hot_keys is None:
+            # computed over the RAW exploded rows: partial aggregation
+            # collapses map-side, so this exchange carries slim partials
             hot_keys = hot_band_keys(bands, hot_threshold)
         cold = bands.join(
             F.broadcast(hot_keys.select("band_id", "band_key")),
             ["band_id", "band_key"],
             "left_anti",
         )
+        # map-side broadcast filter — the hot slice never pays a full-table
+        # exchange; the salted join below exchanges only the (rare) hot rows
         hot = bands.join(
             F.broadcast(hot_keys.select("band_id", "band_key")), ["band_id", "band_key"]
         )
 
+    # ONE exchange for the whole cold self-join: repartition on the join key,
+    # alias to l_/r_ ABOVE it, and both join children canonicalize to the
+    # identical subtree — the right side becomes a ReusedExchange (the
+    # corpus-x-bands table is exploded + shuffled once, read twice; the
+    # band-leg scaling fix, VERDICT r3 profile).
+    cold = cold.repartition("band_id", "band_key")
     l = cold.select(
         "band_id", "band_key", F.col("_id").alias("l_id"), F.col("_sig").alias("l_sig")
     )
     r = cold.select(
         "band_id", "band_key", F.col("_id").alias("r_id"), F.col("_sig").alias("r_sig")
     )
-    joined = l.join(r, ["band_id", "band_key"]).filter(F.col("l_id") < F.col("r_id"))
+    # shuffle_hash: both children are already hash-partitioned on the band key
+    # (zero additional exchange); sort-merge would only add two sorts
+    joined = l.join(r.hint("shuffle_hash"), ["band_id", "band_key"]).filter(
+        F.col("l_id") < F.col("r_id")
+    )
     pairs = _verify_pairs(joined, radius)
 
     if hot is not None:
@@ -162,7 +176,7 @@ def _salted_self_join(hot_bands: DataFrame, radius: int, salt: int) -> DataFrame
         F.col("_id").alias("r_id"),
         F.col("_sig").alias("r_sig"),
     )
-    joined = l.join(r, ["band_id", "band_key", "tgt"]).filter(
+    joined = l.join(r.hint("shuffle_hash"), ["band_id", "band_key", "tgt"]).filter(
         (F.col("l_bucket") < F.col("r_bucket"))
         | ((F.col("l_bucket") == F.col("r_bucket")) & (F.col("l_id") < F.col("r_id")))
     )

@@ -132,8 +132,13 @@ def containment_pairs(
     # docs are the blacklist's business, not this operator's).
     # the exploded stream feeds the flagship's LARGEST exchanges — keep its
     # rows minimal (id + shingle hash only; lengths re-join at candidate
-    # scale, which is orders of magnitude smaller)
-    exploded = base.select(F.col("_id"), F.explode("_sh").alias("s"))
+    # scale, which is orders of magnitude smaller). Repartition on the
+    # shingle hash ONCE: the df groupBy, the df>=2 join-back, and the outer
+    # side of the candidate join all read this one shuffle output via
+    # ReuseExchange instead of each re-exploding/re-exchanging the table.
+    exploded = base.select(F.col("_id"), F.explode("_sh").alias("s")).repartition(
+        "s"
+    )
     from pyspark.sql.window import Window
 
     n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
@@ -142,7 +147,9 @@ def containment_pairs(
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
-    shared = exploded.join(multi, "s")
+    # both sides are partitioned on s (multi is the groupBy's own output);
+    # shuffle_hash builds the df-table map per partition with no sorts
+    shared = exploded.join(multi.hint("shuffle_hash"), "s")
     # Two-stage anchor build. Naively one window over `shared` partitioned by
     # _id yields both the rarest-anchor ranking and the shared-shingle count,
     # but that exchanges + sorts the ENTIRE corpus-x-df>=2 table (36M rows at

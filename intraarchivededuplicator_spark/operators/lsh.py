@@ -58,6 +58,7 @@ def minhash_candidate_pairs(
         ),
     )
     if hot_threshold is not None:
+        # over the RAW exploded rows so partial aggregation combines map-side
         hot = (
             bands.groupBy("band_id", "band_key")
             .agg(F.count("*").alias("n"))
@@ -65,10 +66,15 @@ def minhash_candidate_pairs(
             .select("band_id", "band_key")
         )
         bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
+    # ONE exchange for the whole self-join: repartition on the join key with
+    # the _la/_lb aliasing ABOVE it — both join children canonicalize to the
+    # same subtree, so the right side is a ReusedExchange (bands exploded +
+    # shuffled once, read twice)
+    bands = bands.repartition("band_id", "band_key")
     l = bands.select("band_id", "band_key", F.col("_id").alias("_la"))
     r = bands.select("band_id", "band_key", F.col("_id").alias("_lb"))
     return (
-        l.join(r, ["band_id", "band_key"])
+        l.join(r.hint("shuffle_hash"), ["band_id", "band_key"])
         .filter(F.col("_la") < F.col("_lb"))
         .select(*canonical_pair("_la", "_lb"))
         .groupBy("id_lo", "id_hi")

@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_radius_pairs": q.q_simhash_radius_pairs,
         "simhash_radius_search": q.q_simhash_radius_search,
         "simhash_clusters": q.q_simhash_clusters,
+        "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
         "similar_sources_truncated": q.q_similar_sources_truncated,
@@ -104,6 +105,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_radius_pairs": o.sql_simhash_radius_pairs(SIMHASH_RADIUS),
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
+        "simhash_hot_bands": o.sql_simhash_hot_bands(
+            SIMHASH_RADIUS + 1, 1
+        ),
         "best_simhash_match": o.sql_best_simhash_match(SEARCH_RADIUS),
         "best_matching_source": o.sql_best_matching_source(SEARCH_RADIUS),
         "similar_sources_truncated": o.sql_similar_sources_truncated(

@@ -119,6 +119,40 @@ reach (src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
 
 
+def sql_simhash_hot_bands(
+    n_bands: int, threshold: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """S13 skew registry: band keys shared by more than ``threshold`` docs.
+
+    Replicates columns.band_key's LSB-first logical-shift slicing in SQL:
+    signed int64 -> unsigned via HUGEINT, then (u // 2^offset) % 2^width per
+    band (offsets/widths from columns.band_widths, widest first)."""
+    from ..functions.columns import band_widths
+
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    rows, offset = [], 0
+    for band_id, w in enumerate(band_widths(n_bands)):
+        rows.append(f"({band_id}, {1 << offset}::HUGEINT, {1 << w}::HUGEINT)")
+        offset += w
+    values = ", ".join(rows)
+    return f"""
+WITH {cte_simhash(table)},
+u AS (
+    SELECT doc_id,
+           CASE WHEN simhash < 0
+                THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+                ELSE simhash::HUGEINT END AS us
+    FROM sh WHERE simhash NOT IN ({bl})
+),
+bands AS (
+    SELECT doc_id, b.band_id, CAST((us // b.dv) % b.md AS BIGINT) AS band_key
+    FROM u CROSS JOIN (VALUES {values}) AS b(band_id, dv, md)
+)
+SELECT band_id::INT AS band_id, band_key, count(*)::BIGINT AS n_members
+FROM bands GROUP BY band_id, band_key HAVING count(*) > {threshold}
+ORDER BY band_id, band_key"""
+
+
 def cte_shingles(
     k: int, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

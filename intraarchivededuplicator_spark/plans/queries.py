@@ -116,6 +116,26 @@ def q_simhash_clusters(spark, sf_dir):
     )
 
 
+def q_simhash_hot_bands(spark, sf_dir):
+    """S13 skew registry as a driver query: SimHash band keys shared by more
+    than one doc, with member counts — the high_incidence_hashes side table
+    analog (/root/reference/dbPhashApi.py:185-191) that the pipeline persists
+    for salting. Threshold 1 here so the registry is non-vacuous at sf0.01
+    (the production default 500 is a corpus-scale knob)."""
+    from ..config import bands_for_radius
+    from ..operators.banded_join import explode_bands, hot_band_keys
+
+    d = docs_with_sig(spark, sf_dir).filter(~F.col("simhash").isin([0]))
+    bands = explode_bands(
+        d, "doc_id", "simhash", bands_for_radius(SIMHASH_RADIUS)
+    )
+    return hot_band_keys(bands, 1).select(
+        F.col("band_id").cast("int").alias("band_id"),
+        "band_key",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 def q_best_simhash_match(spark, sf_dir):
     """R1 best-match window: nearest neighbor per doc at r<=6; ties -> min id
     (/root/reference/deduplicator/ProcessArchive.py:264-300)."""

@@ -21,8 +21,8 @@ string-array intersections — 4x slower end to end (VERDICT r1 "What's wrong"
 #2). A 64-bit in-doc hash collision (P ~ m^2/2^64) would shrink a doc's gram
 set by one; acceptable for near-dup detection.
 
-Everything is JVM-side column algebra (sort_array over (df, gram) structs,
-slice, explode, array_intersect); no UDFs.
+Everything is JVM-side column algebra (windowed (df, gram) ranking over the
+df>=2 slice, explode, array_intersect); no UDFs.
 """
 
 from __future__ import annotations
@@ -51,28 +51,52 @@ def jaccard_self_join(
     d = docs.select(F.col(id_col).alias("_id"), g.alias("_g")).filter(
         F.size("_g") > 0
     )
-    exploded = d.select("_id", F.size("_g").alias("n"), F.explode("_g").alias("gram"))
-    # global canonical order: (document frequency asc, gram hash asc)
+    # repartition on gram ONCE: the df groupBy and the rank join's left side
+    # both read this exchange via ReuseExchange (same fusion as the band legs)
+    exploded = d.select(
+        "_id", F.size("_g").alias("n"), F.explode("_g").alias("gram")
+    ).repartition("gram")
+    # global canonical order: (document frequency asc, gram hash asc).
+    # df=1 grams occur in exactly one doc, so they can never match in the
+    # prefix candidate join — the inner join against the df>=2 slice of the
+    # df table drops them before ANY per-doc work. Their effect on canonical
+    # positions is recovered arithmetically below.
     df_tbl = (
         exploded.groupBy("gram").agg(F.count("*").alias("df"))
     )
-    ranked = exploded.join(df_tbl, "gram").select(
-        "_id", "n", F.struct(F.col("df"), F.col("gram")).alias("dg")
+    shared = exploded.join(
+        df_tbl.filter(F.col("df") >= 2).hint("shuffle_hash"), "gram"
     )
-    # prefix length p = n - ceil(t*n) + 1; only the prefix is re-exploded
+    from pyspark.sql.window import Window
+
+    # prefix length p = n - ceil(t*n) + 1. Rank via windows (one exchange on
+    # _id + a partition-local sort of the df>=2 slice only) rather than
+    # collect_list + sort_array: ObjectHashAggregate's sort-based fallback at
+    # corpus-scale key counts made the packed variant 2-8x slower (same
+    # finding as containment's anchor build). Position reconstruction: ALL
+    # df=1 grams sort strictly before ALL df>=2 grams in (df, gram) order, so
+    # a df>=2 gram's position in the doc's FULL canonical order is
+    # (n - n2) + rank-among-df>=2, with n2 = the doc's df>=2 gram count —
+    # the PPJoin positional bound below sees exactly the positions the full
+    # sort would have produced.
     p = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + F.lit(1)
+    w_rank = Window.partitionBy("_id").orderBy("df", "gram")
+    w_all = Window.partitionBy("_id")
     prefixes = (
-        ranked.groupBy("_id", "n")
-        .agg(F.sort_array(F.collect_list("dg")).alias("sorted_dg"))
-        .select(
+        shared.select(
             "_id",
             "n",
-            F.posexplode(F.slice(F.col("sorted_dg.gram"), 1, p)).alias(
-                "pos", "gram"
-            ),
+            "gram",
+            (
+                F.col("n")
+                - F.count("*").over(w_all)
+                + F.row_number().over(w_rank)
+            ).alias("pos"),
         )
-        # pos: 1-based rank of the gram in the doc's global (df, gram) order
-        .withColumn("pos", F.col("pos") + 1)
+        .filter(F.col("pos") <= p)
+        .select("_id", "n", "pos", "gram")
+        # ONE exchange for the prefix self-join: both sides alias above it
+        .repartition("gram")
     )
     l = prefixes.select(
         F.col("_id").alias("id_lo"), F.col("n").alias("n_a"),
@@ -95,7 +119,7 @@ def jaccard_self_join(
         F.lit(threshold) / (1.0 + threshold) * (F.col("n_a") + F.col("n_b"))
     ).cast("int")
     cand = (
-        l.join(r, "gram")
+        l.join(r.hint("shuffle_hash"), "gram")
         .filter(F.col("id_lo") < F.col("id_hi"))
         # size filter: J >= t impossible unless t*max(|x|,|y|) <= min(|x|,|y|)
         .filter(
@@ -119,7 +143,10 @@ def jaccard_self_join(
     )
     # verify against the cheap hashed-gram projection `d` (NOT the rank-sorted
     # arrays: that subtree holds the df join + per-doc sort and would be
-    # recomputed per branch; intersection doesn't care about order)
+    # recomputed per branch; intersection doesn't care about order).
+    # Semi-join reduction (same rationale as lsh.jaccard_verify_pairs): the
+    # doc rows are FAT gram arrays while the candidate-id set is bare longs —
+    # broadcast the ids so only docs in some candidate pair pay the exchange.
     ga = d.select(
         F.col("_id").alias("id_lo"), F.size("_g").alias("n_a"),
         F.col("_g").alias("grams_a"),
@@ -128,9 +155,16 @@ def jaccard_self_join(
         F.col("_id").alias("id_hi"), F.size("_g").alias("n_b"),
         F.col("_g").alias("grams_b"),
     )
+    ids = cand.select(F.explode(F.array("id_lo", "id_hi")).alias("_cid")).distinct()
+    ga = ga.join(
+        F.broadcast(ids.select(F.col("_cid").alias("id_lo"))), "id_lo", "left_semi"
+    )
+    gb = gb.join(
+        F.broadcast(ids.select(F.col("_cid").alias("id_hi"))), "id_hi", "left_semi"
+    )
     return (
-        cand.join(ga, "id_lo")
-        .join(gb, "id_hi")
+        cand.join(ga.hint("shuffle_hash"), "id_lo")
+        .join(gb.hint("shuffle_hash"), "id_hi")
         .withColumn(
             "n_shared", F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
         )

@@ -80,7 +80,8 @@ def test_prefix_filter_prunes_candidates(spark):
     n = docs.filter(F.size("grams") > 0).count()
     out = jaccard_self_join(docs, "doc_id", "grams", 0.5)
     # correctness of *result* is covered above; here assert the plan avoids
-    # a raw gram join by checking the explain contains the prefix slice
+    # a raw gram join by checking the explain contains the windowed prefix
+    # ranking (row_number over the (df, gram) canonical order)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "slice" in plan
+    assert "row_number" in plan
     assert out.count() < n * (n - 1) / 4

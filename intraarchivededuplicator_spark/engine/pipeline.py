@@ -334,14 +334,18 @@ def dedup_pipeline(
     _finalize_obs("docs")
     if isinstance(ck, NullCheckpointer):
         # without a materializing checkpointer the pair legs would each
-        # recompute the signature UDFs — cache AND materialize now. The
-        # count is not optional: the union-find localCheckpoint below
-        # executes eagerly, and against a cold cache it would re-execute the
+        # recompute the signature UDFs — materialize now (eagerly: the
+        # union-find localCheckpoint below would otherwise re-execute the
         # whole multi-leg pairs plan inside one job, where the optimizer has
-        # mis-sized a join side badly enough to OOM the broadcast exchange
-        # (observed at 160k docs even with a 48g heap)
-        docs = docs.persist()
-        docs.count()
+        # mis-sized a join side badly enough to OOM the broadcast exchange;
+        # observed at 160k docs even with a 48g heap). localCheckpoint
+        # rather than persist+count: it ALSO truncates lineage, so the ~6
+        # downstream actions analyze/optimize a LogicalRDD leaf instead of
+        # re-walking the extract+signature tree each time — that driver-side
+        # planning is single-threaded and identical at every parallelism
+        # level, i.e. pure Amdahl overhead at cluster scale. (At production
+        # scale StageCheckpointer gives the same truncation via parquet.)
+        docs = docs.localCheckpoint()
     # S13 skew registry: SimHash band keys whose group exceeds the hot
     # threshold — the high_incidence_hashes side table analog
     # (/root/reference/dbPhashApi.py:185-191), persisted by jobs/dedup_job so
@@ -381,8 +385,7 @@ def dedup_pipeline(
     )
     _finalize_obs("pairs")
     if isinstance(ck, NullCheckpointer):
-        pairs = pairs.persist()
-        pairs.count()
+        pairs = pairs.localCheckpoint()
     clusters = ck.run(
         spark,
         "clusters",

@@ -217,8 +217,26 @@ def write_parquet(corpus: SynthCorpus, out_dir: str) -> None:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    # Spark's parquet reader rejects NANOS timestamps -> coerce to micros
-    corpus.pages.to_parquet(
-        f"{out_dir}/pages.parquet", index=False, coerce_timestamps="us"
+    # Layout matters for scan parallelism: pandas' default to_parquet writes
+    # ONE file with ONE row group, and a row group is assignable to exactly
+    # one Spark scan task — every read of the corpus then starts with a
+    # single-threaded decompress of the whole table, a fixed serial term that
+    # caps measured scaling efficiency (and Spark's 128 MiB maxPartitionBytes
+    # split floor means finer row groups alone don't help). Shard into ~8 MiB
+    # files so the scan fans out at any parallelism level — the miniature of
+    # writing a 100 TB table as many cluster-splittable files.
+    # Spark's parquet reader rejects NANOS timestamps -> coerce to micros.
+    n = len(corpus.pages)
+    n_files = max(1, min(64, n // 5000))
+    pages_dir = f"{out_dir}/pages.parquet"
+    os.makedirs(pages_dir, exist_ok=True)
+    for i in range(n_files):
+        corpus.pages.iloc[i::n_files].to_parquet(
+            f"{pages_dir}/part-{i:05d}.parquet",
+            index=False,
+            coerce_timestamps="us",
+            row_group_size=5000,
+        )
+    corpus.truth.to_parquet(
+        f"{out_dir}/pages_truth.parquet", index=False, row_group_size=5000
     )
-    corpus.truth.to_parquet(f"{out_dir}/pages_truth.parquet", index=False)

@@ -162,3 +162,38 @@ class TestJunkAndMime:
         assert got["h"] == "hello world"
         assert got["t"] == "plain text body"
         assert got["x"] == ""
+
+
+class TestWriteParquetLayout:
+    def test_sharded_splittable_files(self, tmp_path):
+        """A parquet row group is the unit of scan parallelism: a corpus
+        written as one single-row-group file serializes every Spark read
+        (measured: an ~11% fixed serial term on the 8-core flagship leg).
+        write_parquet must emit multiple small-row-group files."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from intraarchivededuplicator_spark.fixtures.synth import (
+            gen_pages,
+            write_parquet,
+        )
+
+        c = gen_pages(12000, seed=3)
+        write_parquet(c, str(tmp_path))
+        pages_dir = tmp_path / "pages.parquet"
+        parts = sorted(pages_dir.glob("part-*.parquet"))
+        assert len(parts) == 2  # 12000 // 5000
+        for p in parts:
+            f = pq.ParquetFile(str(p))
+            assert f.metadata.row_group(0).num_rows <= 5000
+        # the shards together are the exact corpus, rows unchanged
+        back = (
+            pd.concat([pd.read_parquet(p) for p in parts])
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        orig = c.pages.sort_values("url").reset_index(drop=True)
+        # timestamps were coerced to micros on write
+        assert back["url"].equals(orig["url"])
+        assert back["html"].equals(orig["html"])
+        assert back["text"].equals(orig["text"])

@@ -439,7 +439,10 @@ workers matches the full Spark docs stage at local[2], i.e. the engine adds
     if os.path.exists(cap_json):
         with open(cap_json) as f:
             cap = json.load(f)
-        s = cap["samples"][-1]
+        # the most detailed sample is the headline table; later samples
+        # (fewer levels) just evidence persistence of the window
+        s = max(cap["samples"], key=lambda x: len(x["runs"]))
+        n_samples = len(cap["samples"])
         rows = "\n".join(
             f"| {r['procs']} | {r['wall_sec']} | {r['agg_core_equiv']} |"
             for r in s["runs"]
@@ -460,7 +463,9 @@ invariant across windows — measured 248.7-250.4s) while an 8-thread job is
 squeezed to ~{next((r['agg_core_equiv'] for r in s['runs'] if r['procs'] == 8), '?')} core-equivalents — so any N->4N pair measured then
 reflects the HOST cap, not the engine. This is why every recorded run
 carries a canary and the protocol keeps the fastest attempt per level
-(noise is strictly one-sided).
+(noise is strictly one-sided). {n_samples} probe samples recorded
+(cpu_cap_probe.json); the capped window persisted for hours, so the r3
+high-core attempts above are all cap-bounded.
 
 """
     body = "\n".join(sections) + "\n" + ceiling_md + stage_md + hostceil_md + cap_md

@@ -172,6 +172,11 @@ def merge_pair(old: dict | None, new: dict) -> dict:
         if c not in by_cpus or r["wall_sec"] < by_cpus[c]["wall_sec"]:
             by_cpus[c] = r
     runs = sorted(by_cpus.values(), key=lambda r: r["cpus"])
+    if len(runs) < 2:
+        raise SystemExit(
+            f"{new['metric']}: only one parallelism level known — measure "
+            "the other level before merging a pair"
+        )
     a, b = runs[0], runs[-1]
     speedup = a["wall_sec"] / b["wall_sec"]
     return {

@@ -89,9 +89,9 @@ def stream_exact_dedup(
 ) -> DataFrame:
     """Streaming exact-dedup: keep the FIRST arrival per content hash within
     the watermark horizon (the streaming analog of the exact-first leg; the
-    reference's equivalent is the scanner's skip-if-hash-known re-scan gate,
-    /root/reference/scanner/reScanFromDb.py via dbApi item checks, which the
-    batch path realizes as sources/ingest.incremental_ingest).
+    reference's equivalent is the scanner's skip-if-hash-unchanged re-scan
+    gate, /root/reference/scanner/fileHasher.py:333-341, which the batch
+    path realizes as sources/ingest.incremental_ingest).
 
     dropDuplicatesWithinWatermark keeps the dedup state bounded by the
     watermark window — a plain dropDuplicates on an unbounded crawl stream

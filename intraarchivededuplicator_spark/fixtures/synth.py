@@ -14,6 +14,7 @@ space-joined tokens so the HTML round-trip invariant (extract(render(text))
 from __future__ import annotations
 
 import html as _html
+import shutil
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -229,7 +230,15 @@ def write_parquet(corpus: SynthCorpus, out_dir: str) -> None:
     n = len(corpus.pages)
     n_files = max(1, min(64, n // 5000))
     pages_dir = f"{out_dir}/pages.parquet"
-    os.makedirs(pages_dir, exist_ok=True)
+    # A rewrite with fewer shards must not leave stale part files from a
+    # previous larger corpus (they'd silently pollute every read), and a
+    # leftover single-FILE pages.parquet from the pre-shard layout would make
+    # makedirs fail — clear whatever is there first.
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    elif os.path.exists(pages_dir):
+        os.remove(pages_dir)
+    os.makedirs(pages_dir)
     for i in range(n_files):
         corpus.pages.iloc[i::n_files].to_parquet(
             f"{pages_dir}/part-{i:05d}.parquet",

@@ -142,9 +142,11 @@ def _parse_ppm(raw: bytes) -> np.ndarray | None:
     if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
         return None
     ch = 3 if raw[:2] == b"P6" else 1
-    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=i)
-    if px.size < w * h * ch:
+    if len(raw) - i < w * h * ch:
+        # truncated payload: frombuffer with count= would raise, aborting the
+        # job — quarantine instead (ADVICE r3: header-declared size can lie)
         return None
+    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=i)
     if ch == 3:
         rgb = px.reshape(h, w, 3).astype(np.float64)
         # ITU-R 601 luma — same weights PIL's convert("L") uses
@@ -217,16 +219,27 @@ def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
                 "plug the decoder in here — the Spark plumbing is unchanged"
             )
         raw = bytes(raw)
-        gray = _try_pil_decode(raw)
-        if gray is None:
-            gray = _parse_ppm(raw)
+        # Built-in parsers FIRST: they use unrounded float luma, while PIL's
+        # convert("L") rounds to uint8 — trying them first means a given
+        # PPM/PGM/BMP payload yields identical features with or without PIL
+        # installed (signature stability across heterogeneous executors).
+        gray = _parse_ppm(raw)
         if gray is None:
             gray = _parse_bmp(raw)
+        if gray is None:
+            gray = _try_pil_decode(raw)
         if gray is None or gray.size == 0:
             feats.append(None)
             continue
         height[i], width[i] = gray.shape
-        feats.append(_ahash_features(gray, grid=int(FEATURE_DIM**0.5)))
+        grid = int(FEATURE_DIM**0.5)
+        if gray.shape[0] < grid or gray.shape[1] < grid:
+            # smaller than the pooling grid (1x1 tracking pixels and friends):
+            # array_split would yield empty chunks whose mean is NaN, poisoning
+            # the downstream cosine-LSH — quarantine the features, keep dims
+            feats.append(None)
+            continue
+        feats.append(_ahash_features(gray, grid=grid))
     return pd.DataFrame(
         {
             "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype(

@@ -253,7 +253,7 @@ SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 
        count(*) AS n_events,
        round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6) AS sum_value,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1, 2"""
 
 

@@ -268,6 +268,50 @@ class TestMultimodal:
         ).collect()[0]
         assert out["features"] is None and out["n_bytes"] == 64
 
+    def test_real_backend_truncated_ppm_quarantined_not_abort(self, spark):
+        """ADVICE r4: a header that declares more pixels than the payload
+        carries (truncated/corrupt file) must quarantine, never abort the job
+        — np.frombuffer with count= raises ValueError without the pre-check."""
+        ppm = b"P6\n10000 10000\n255\n" + b"\x01" * 300  # header lies
+        rows = [Row(media_id=1, url="t.ppm", media_type="image", payload=ppm)]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert out["features"] is None
+
+    def test_real_backend_tiny_image_features_quarantined(self, spark):
+        """ADVICE r4: images smaller than the 8x8 pooling grid (1x1 tracking
+        pixels etc.) must yield null features, not NaN vectors that poison the
+        downstream cosine-LSH. Dims are still recorded — the decode worked."""
+        tiny = b"P6\n2 2\n255\n" + bytes(range(12))
+        rows = [Row(media_id=1, url="t.ppm", media_type="image", payload=tiny)]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert out["features"] is None
+        assert (out["width"], out["height"]) == (2, 2)
+
+    def test_real_backend_builtin_parser_beats_pil_for_ppm(self):
+        """ADVICE r4: PPM/BMP must decode through the dependency-free parsers
+        even when PIL is installed, so a given payload yields bit-identical
+        features on heterogeneous executors (PIL's convert('L') rounds luma
+        to uint8; the built-ins keep float). Direct-kernel test: the batch
+        output must equal the built-in parser's features exactly."""
+        import pandas as pd
+
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            _ahash_features,
+            _parse_ppm,
+            _real_decode_batch,
+        )
+
+        w = h = 8
+        px = bytes((x * 37 + y * 11) % 256 for y in range(h) for x in range(w * 3))
+        ppm = b"P6\n8 8\n255\n" + px
+        out = _real_decode_batch(pd.Series([ppm]), pd.Series(["image"]))
+        want = _ahash_features(_parse_ppm(ppm), grid=8)
+        assert out["features"][0] == want
+
     def test_frame_sample(self, spark):
         dec = decode_media(_media(spark))
         frames = frame_sample(dec, every_n=10, max_frames=4).collect()

@@ -189,7 +189,8 @@ def test_containment_boundary_anchor_not_missed(spark):
     whose boundary shingle gains df>=2 from a THIRD doc (here: an exact copy
     of the inner) becomes the rarest anchor — it is absent from the outer, so
     the true (inner, outer) pair was silently missed. Multi-anchor candidacy
-    (2*(k-1)+1 rarest) must recover it."""
+    (slack+1 = 3 rarest df>=2 shingles; containment.py's constant
+    boundary-slack argument) must recover it."""
     words = [f"w{i:02d}" for i in range(40)]
     outer = " ".join(words)
     inner = outer[2:]  # cut mid-token: first token becomes '00' -> boundary

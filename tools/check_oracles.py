@@ -1,8 +1,15 @@
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate — transport-strict.
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql() on
-DuckDB at sf0.01, compares row count, column names, and order-insensitive
-values (columns sorted by name, rows sorted, floats rounded to 9dp).
+DuckDB at sf0.01 and compares the way the driver does: both result sets are
+pulled through the pandas/Arrow TRANSPORT layer (Spark ``toPandas()``, DuckDB
+``.df()``), columns sorted by name, and cells compared as strings with a
+per-column dtype-kind check.  This is strict enough to catch type divergences
+that Python-value comparison hides — e.g. DuckDB ``sum(BIGINT)`` returns
+HUGEINT, which pandas materializes as float64, so the driver hashes ``156.0``
+against Spark's ``156`` even though ``fetchall()`` would yield an equal
+Python int (the exact bug that kept ``events_hourly_rate`` red for three
+rounds — see VERDICT r3).
 
 Usage: python tools/check_oracles.py [query_name ...]
 """
@@ -11,6 +18,8 @@ from __future__ import annotations
 
 import sys
 import time
+
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -21,19 +30,44 @@ TABLES = [
 ]
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the transport-relevant kind.
+
+    int vs float is the distinction that matters (HUGEINT/DECIMAL leaks);
+    everything non-numeric compares as its stringified cells anyway.
+    """
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
+def _cell(v) -> str:
+    """Stringify one transported cell the way a value-hash would see it."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        return f"{round(float(v), 9):.9f}".rstrip("0").rstrip(".")
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize_df(pdf):
+    """Sort columns by name, stringify every cell, sort rows."""
+    cols = sorted(pdf.columns)
+    kinds = {c: _kind(pdf[c].dtype) for c in cols}
+    rows = []
+    for tup in pdf[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_cell(v) for v in tup))
+    rows.sort()
+    return cols, kinds, rows
 
 
 def main():
@@ -57,38 +91,53 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:
             failures.append((name, f"spark error: {ex}"))
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
             continue
         sql = os_.get(name)
         if sql is None:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows)")
+            print(f"SKIP {name}: no oracle ({len(spdf)} rows)")
             continue
         try:
-            res = con.sql(sql)
-            ocols = [c for c in res.columns]
-            orows = res.fetchall()
+            opdf = con.sql(sql).df()
         except Exception as ex:
             failures.append((name, f"duckdb error: {ex}"))
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             continue
         dt = time.time() - t0
-        if sorted(scols) != sorted(ocols):
+        scols, skinds, srows = normalize_df(spdf)
+        ocols, okinds, orows = normalize_df(opdf)
+        if scols != ocols:
             failures.append((name, f"schema mismatch: {scols} vs {ocols}"))
-            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(ocols)}")
+            print(f"FAIL {name}: schema {scols} vs {ocols}")
             continue
         if len(srows) != len(orows):
             failures.append((name, f"rowcount {len(srows)} vs {len(orows)}"))
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
             continue
-        ns, no = normalize(srows, scols), normalize(orows, ocols)
-        if ns != no:
+        # Transport-dtype check. A column that is int on one side and float
+        # on the other hashes differently in the driver even when the Python
+        # values compare equal.  Empty frames and all-null columns transport
+        # as object/float ambiguously — only flag when both sides have rows.
+        kind_bad = [
+            c for c in scols
+            if len(srows) and skinds[c] != okinds[c]
+            and {"int", "float"} == {skinds[c], okinds[c]}
+        ]
+        if kind_bad:
+            failures.append(
+                (name, f"transport dtype mismatch on {kind_bad}: "
+                       f"spark {[skinds[c] for c in kind_bad]} vs "
+                       f"oracle {[okinds[c] for c in kind_bad]}"))
+            print(f"FAIL {name}: transport dtype mismatch {kind_bad} "
+                  f"(spark {[skinds[c] for c in kind_bad]} vs "
+                  f"oracle {[okinds[c] for c in kind_bad]})")
+            continue
+        if srows != orows:
             bad = next(
-                (i, a, b) for i, (a, b) in enumerate(zip(ns, no)) if a != b
+                (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
             )
             failures.append((name, f"value mismatch at {bad[0]}: {bad[1]} vs {bad[2]}"))
             print(f"FAIL {name}: first diff {bad[1]} vs {bad[2]}")

@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
+        "crawl_rate_hourly": q.q_crawl_rate_hourly,
         "orders_by_priority_month": q.q_orders_by_priority_month,
         "nation_revenue": q.q_nation_revenue,
     }
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": o.sql_deterministic_sample(),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
+        "crawl_rate_hourly": o.sql_crawl_rate_hourly(),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),
         "nation_revenue": o.sql_nation_revenue(),
     }

@@ -13,7 +13,12 @@ Measurement protocol (same discipline as tools/scaling_bench.py):
     fixed cost a long-running cluster job amortizes to zero;
   * a single-core CPU canary (fixed md5 loop) is recorded before and after
     the run — the sandbox host throttles guest CPU 2-4x episodically, and
-    runs whose canaries disagree are not comparable round-over-round.
+    runs whose canaries disagree are not comparable round-over-round;
+  * canary-gated retry: after the standard attempts, a per-query canary is
+    measured; if it exceeds BENCH_CANARY_GATE (default 0.25 s — clean windows
+    run ~0.20, throttled 0.28+), the query retries up to BENCH_MAX_ATTEMPTS
+    (default 4) total, so a single throttled window cannot set the recorded
+    number for a query whose steady-state time is far lower.
 """
 
 from __future__ import annotations
@@ -73,13 +78,19 @@ def main() -> None:
     qs = e.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    max_attempts = max(attempts, int(os.environ.get("BENCH_MAX_ATTEMPTS", "4")))
+    canary_gate = float(os.environ.get("BENCH_CANARY_GATE", "0.25"))
+
     canary_start = cpu_canary()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    gated_retries = 0
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for att in range(attempts):
+        att = 0
+        while att < max_attempts:
+            att += 1
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -93,6 +104,22 @@ def main() -> None:
                 break
             if best is None or dt < best[0]:
                 best = (dt, n)
+            if att < attempts:
+                continue
+            # standard attempts done — accept only if the window was clean.
+            # Sub-second queries are immune to window noise at record scale.
+            if best[0] < 1.0:
+                break
+            c = cpu_canary()
+            if c <= canary_gate:
+                break
+            if att < max_attempts:
+                gated_retries += 1
+                print(
+                    f"bench {name}: canary {c}s > {canary_gate} (throttled "
+                    f"window) — retry {att + 1}/{max_attempts}",
+                    file=sys.stderr,
+                )
         timings[name], rows[name] = best[0], best[1]
         print(f"bench {name}: {timings[name]}s {rows[name]} rows", file=sys.stderr)
 
@@ -115,6 +142,8 @@ def main() -> None:
         "docs_per_sec_dedup": round(n_docs / dedup_wall, 2) if dedup_wall > 0 else None,
         "rows": rows,
         "attempts": attempts,
+        "max_attempts": max_attempts,
+        "gated_retries": gated_retries,
         "canary_sec": {"start": canary_start, "end": canary_end},
     }
     print(json.dumps(out))

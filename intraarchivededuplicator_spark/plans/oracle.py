@@ -257,6 +257,19 @@ SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 
 FROM events GROUP BY 1, 2"""
 
 
+def sql_crawl_rate_hourly() -> str:
+    # batch twin of streaming crawl_rate (1-hour event-time windows over
+    # events-as-pages); same TZ-free epoch bucketing as events_hourly_rate
+    return """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000),
+                '%Y-%m-%d %H:00:00') AS window_start,
+       strftime(make_timestamp((CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1) * 3600 * 1000000),
+                '%Y-%m-%d %H:00:00') AS window_end,
+       event_type AS lang,
+       count(*) AS n_pages
+FROM events GROUP BY 1, 2, 3"""
+
+
 # --- query-for-query oracles for plans/queries.py ---------------------------
 
 def sql_exact_dup_groups() -> str:

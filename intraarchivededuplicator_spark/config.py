@@ -58,6 +58,15 @@ class DedupConfig:
     # verification at this threshold (candidates alone are probabilistic)
     jaccard_verify_threshold: float = 0.7
     candidate_cap: int | None = None  # None = exact (no reference-style skip)
+    # containment anchor-exchange winnowing (operators/containment.py,
+    # functions/hashing.winnow_split): window-w sliding-min selection shrinks
+    # the flagship's largest exchange ~(w+1)/2-fold with a DETERMINISTIC
+    # recall guarantee for inner docs longer than w + k_shingle + 1 tokens.
+    # None (default) explodes the full shingle set — required when true inner
+    # duplicates can be shorter than that bound (tweet-sized corpora, the
+    # 10-token driver testdata docs); web-page corpora (>= ~200 tokens)
+    # should set 8.
+    containment_winnow_w: int | None = None
     blacklist: tuple[int, ...] = BAD_SIMHASHES
     minhash_params: MinHashParams = field(default_factory=MinHashParams.make)
 

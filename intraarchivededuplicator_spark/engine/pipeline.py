@@ -91,7 +91,9 @@ def compute_docs(
     df = df.withColumn("id", F.xxhash64("url")).withColumn(
         "n_tokens", F.size(tokens(F.col("text")))
     )
-    sig_udf = make_fast_signatures_udf(cfg.k_shingle, cfg.minhash_params)
+    sig_udf = make_fast_signatures_udf(
+        cfg.k_shingle, cfg.minhash_params, winnow_w=cfg.containment_winnow_w
+    )
     sig_text = F.col("text")
     rep_cols = []
     if rep_gate:
@@ -126,6 +128,14 @@ def compute_docs(
         # null (not degenerate 0) for non-reps so NOT NULL signature gates
         # and the hot-band registry skip them outright
         simhash_col = F.when(is_rep, simhash_col)
+    winnow_cols = (
+        [
+            sig["win_interior"].alias("win_interior"),
+            sig["win_boundary"].alias("win_boundary"),
+        ]
+        if cfg.containment_winnow_w is not None
+        else []
+    )
     return df.select(
         F.col("id"),
         F.col("url"),
@@ -136,6 +146,7 @@ def compute_docs(
         simhash_col.alias("simhash"),
         sig["minhash"].alias("minhash"),
         sig["shingle_hashes"].alias("shingle_hashes"),
+        *winnow_cols,
         F.col("n_tokens"),
         *([F.col("lang")] if "lang" in df.columns else []),
         *([F.col("warc_ts")] if "warc_ts" in df.columns else []),
@@ -231,7 +242,21 @@ def build_pairs(
     )
     cont = (
         containment_pairs(
-            matchable, "id", "text", cfg.k_shingle, shingle_col="shingle_hashes"
+            matchable,
+            "id",
+            "text",
+            cfg.k_shingle,
+            shingle_col="shingle_hashes",
+            # winnowed anchor universe precomputed by the signature kernel
+            # when cfg.containment_winnow_w is set (compute_docs)
+            **(
+                {
+                    "winnow_interior_col": "win_interior",
+                    "winnow_boundary_col": "win_boundary",
+                }
+                if "win_interior" in matchable.columns
+                else {}
+            ),
         )
         .select(
             F.least("inner_id", "outer_id").alias("id_lo"),

@@ -275,16 +275,61 @@ def _shingle_mix(th: np.ndarray, k: int) -> np.ndarray:
     return splitmix64_np(acc)
 
 
+def winnow_split(seq: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """MOSS-style winnowing (Schleimer et al. 2003) over a positional shingle-
+    hash sequence, split into (interior, boundary) selected values.
+
+    Selection: the min hash of every length-w sliding window. Split:
+    *interior* = values selected by at least one window other than the first
+    and last; *boundary* = values selected ONLY by window 0 or window n_w-1.
+
+    Why the split matters for containment (operators/containment.py): if doc
+    A is a substring of doc B at token granularity, A's shingle sequence is a
+    contiguous run of B's, except that a mid-token cut can perturb A's FIRST
+    and LAST shingle only — and shingle 0 appears in window 0 only, shingle
+    n-1 in the last window only, so at most those two windows select values
+    B never selects. Every INTERIOR window of A has content identical to the
+    corresponding window of B, hence its min is selected by B too. Interior
+    values are therefore a deterministic anchor universe: anchor(A) interior
+    => anchor in B's winnowed set. Density ~2/(w+1), cutting the containment
+    df/anchor exchange ~(w+1)/2-fold versus exploding the full shingle set.
+
+    Sequences shorter than w return (empty, all distinct values): such a doc
+    can still serve as an OUTER (its values in the exchange cost little) but
+    offers no interior guarantee as an inner — callers must keep winnowing
+    off (winnow_w=None) for corpora where docs shorter than w + k_shingle - 1
+    tokens can be true inner duplicates."""
+    n = len(seq)
+    if n < w:
+        return np.empty(0, dtype=seq.dtype), np.unique(seq)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(seq, w).min(axis=1)
+    if len(mins) >= 3:
+        interior = np.unique(mins[1:-1])
+    else:
+        interior = np.empty(0, dtype=seq.dtype)
+    boundary = np.setdiff1d(
+        np.unique(mins[[0, -1]]), interior, assume_unique=False
+    )
+    return interior, boundary
+
+
 def signatures_batch(
     texts,
     k_shingle: int,
     params: MinHashParams,
     shingle_k_sim: int = SIMHASH_SHINGLE_K,
+    winnow_w: int | None = None,
 ):
     """All three signatures in one pass: (simhash int64 array, minhash lists,
     shingle-hash-set lists). Minhash/shingle-set are None for docs with fewer
     than k_shingle tokens; simhash is 0 below shingle_k_sim tokens
-    (BAD_SIMHASHES degenerate convention, same as simhash64)."""
+    (BAD_SIMHASHES degenerate convention, same as simhash64).
+
+    With winnow_w set, returns two extra lists (win_interior, win_boundary):
+    the winnow_split of each doc's positional shingle-hash sequence, the
+    slim anchor universe for the containment leg (see winnow_split)."""
     a = np.array(params.a, dtype=np.int64)[:, None]
     b = np.array(params.b, dtype=np.int64)[:, None]
     tok_memo: dict[str, int] = {}
@@ -293,6 +338,8 @@ def signatures_batch(
     out_sim = np.zeros(len(texts), dtype=np.int64)
     out_mh: list[list[int] | None] = []
     out_sh: list[list[int] | None] = []
+    out_wint: list[list[int] | None] = []
+    out_wbnd: list[list[int] | None] = []
     for i, text in enumerate(texts):
         toks = tokenize(text) if isinstance(text, str) else []
         n = len(toks)
@@ -321,9 +368,18 @@ def signatures_batch(
             vals = (a * uniq[None, :] + b) % MINHASH_PRIME
             out_mh.append(vals.min(axis=1).tolist())
             out_sh.append(uniq.tolist())
+            if winnow_w is not None:
+                wi, wb = winnow_split(h32, winnow_w)
+                out_wint.append(wi.tolist())
+                out_wbnd.append(wb.tolist())
         else:
             out_mh.append(None)
             out_sh.append(None)
+            if winnow_w is not None:
+                out_wint.append(None)
+                out_wbnd.append(None)
+    if winnow_w is not None:
+        return out_sim, out_mh, out_sh, out_wint, out_wbnd
     return out_sim, out_mh, out_sh
 
 

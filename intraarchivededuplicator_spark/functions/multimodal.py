@@ -7,15 +7,18 @@ media as opaque `binary` columns with typed metadata, decode / feature /
 resize / frame-sample as Arrow-batched `mapInPandas` stages so each executor
 processes whole record batches without per-row Python.
 
-`decode_backend="real"` decodes IMAGES for real: via PIL when it is
-installed (PNG/JPEG/WebP/...), and with built-in dependency-free parsers for
-uncompressed PPM/PGM/BMP otherwise — so the branch is exercisable (and
-golden-tested) even in codec-free containers like this one. Features are
-aHash-style 8x8 mean-pooled luma, unit-normalized. Audio/video decode still
-raises NotImplementedError at the exact call site pyav/torchaudio would plug
-into. The default `decode_backend="fake"` derives deterministic dimensions /
-frames / features from the payload bytes (blake2b) for plumbing tests that
-must not depend on any pixel format.
+`decode_backend="real"` decodes IMAGES and AUDIO for real: images via
+built-in dependency-free PPM/PGM/BMP parsers (tried first, so features are
+bit-stable across environments) with a PIL fallback for compressed formats
+(PNG/JPEG/WebP/...); audio via a built-in RIFF WAVE PCM parser with RMS
+energy-envelope features in the same FEATURE_DIM space — both exercisable
+(and golden-tested) even in codec-free containers like this one. Video has
+an optional pyav branch (frame-sampled temporal aHash) under the same
+quarantine contract; without pyav it raises NotImplementedError at the exact
+plug point, the one remaining declared stub. The default
+`decode_backend="fake"` derives deterministic dimensions / frames / features
+from the payload bytes (blake2b) for plumbing tests that must not depend on
+any codec.
 """
 
 from __future__ import annotations
@@ -180,6 +183,96 @@ def _parse_bmp(raw: bytes) -> np.ndarray | None:
     return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
 
 
+def _parse_wav_pcm(raw: bytes) -> tuple[np.ndarray, int] | None:
+    """Dependency-free decoder for RIFF WAVE PCM (8/16-bit, any channel
+    count): returns (mono float64 samples in [-1, 1], sample_rate) or None.
+    The audio analog of the PPM/BMP parsers — real format, no codec lib."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE" or len(raw) < 44:
+        return None
+    i, n = 12, len(raw)
+    fmt = None
+    while i + 8 <= n:
+        cid = raw[i : i + 4]
+        csz = int.from_bytes(raw[i + 4 : i + 8], "little")
+        body = raw[i + 8 : i + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or n_ch < 1 or rate <= 0 or bits not in (8, 16):
+                return None  # non-PCM (compressed) wav: not this parser's job
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data" and fmt is not None:
+            n_ch, rate, bits = fmt
+            if bits == 16:
+                usable = len(body) - (len(body) % (2 * n_ch))
+                if usable <= 0:
+                    return None
+                x = np.frombuffer(body, dtype="<i2", count=usable // 2)
+                x = x.astype(np.float64) / 32768.0
+            else:
+                usable = len(body) - (len(body) % n_ch)
+                if usable <= 0:
+                    return None
+                x = np.frombuffer(body, dtype=np.uint8, count=usable)
+                x = (x.astype(np.float64) - 128.0) / 128.0
+            mono = x.reshape(-1, n_ch).mean(axis=1)
+            return mono, rate
+        i += 8 + csz + (csz & 1)  # chunks are word-aligned
+    return None
+
+
+def _energy_features(mono: np.ndarray, grid: int = FEATURE_DIM) -> list[float] | None:
+    """RMS energy envelope over `grid` equal time bins, centered and
+    unit-normalized — the audio analog of the aHash mean-pool (same feature
+    dimension, so the downstream cosine-LSH/ANN operators apply unchanged)."""
+    if len(mono) < grid:
+        return None  # shorter than the pooling grid: quarantine, like images
+    bins = np.array_split(mono.astype(np.float64) ** 2, grid)
+    pooled = np.sqrt(np.array([b.mean() for b in bins]))
+    v = pooled - pooled.mean()
+    nrm = np.linalg.norm(v)
+    v = v / nrm if nrm > 0 else v
+    return [float(x) for x in v.astype(np.float32)]
+
+
+def _try_pyav_video(raw: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Optional pyav pathway for video: sample up to 8 frames evenly, aHash
+    each, mean the per-frame features (temporal mean-pool), unit-normalize.
+    Returns (width, height, n_frames, features) or None when pyav is absent
+    or cannot parse the payload — same quarantine contract as images."""
+    try:
+        import av  # not installed in codec-free containers
+    except ImportError:
+        return None
+    try:
+        from io import BytesIO
+
+        with av.open(BytesIO(raw)) as container:
+            stream = container.streams.video[0]
+            frames = [f.to_ndarray(format="gray") for f in container.decode(stream)]
+        if not frames:
+            return None
+        idx = np.linspace(0, len(frames) - 1, min(8, len(frames))).astype(int)
+        grid = int(FEATURE_DIM**0.5)
+        feats = []
+        for i in idx:
+            g = frames[i].astype(np.float64)
+            if g.shape[0] < grid or g.shape[1] < grid:
+                continue
+            feats.append(_ahash_features(g, grid=grid))
+        if not feats:
+            return None
+        v = np.mean(np.array(feats, dtype=np.float64), axis=0)
+        nrm = np.linalg.norm(v)
+        v = v / nrm if nrm > 0 else v
+        h, w = frames[0].shape[:2]
+        return int(w), int(h), len(frames), [float(x) for x in v.astype(np.float32)]
+    except Exception:
+        return None
+
+
 def _ahash_features(gray: np.ndarray, grid: int = 8) -> list[float]:
     """aHash-style features: mean-pool to grid x grid, center, unit-normalize —
     the pHash kernel shape (/root/reference/scanner/hashFile.py:95-106) kept
@@ -198,12 +291,21 @@ def _ahash_features(gray: np.ndarray, grid: int = 8) -> list[float]:
 
 
 def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFrame:
-    """Real image decode: PIL when installed (PNG/JPEG/...), with built-in
-    parsers for uncompressed PPM/PGM/BMP so the branch works codec-free.
-    Audio/video payloads still raise — pyav/torchaudio would plug in here.
-    Undecodable images yield null dims/features (quarantine rows, never a
-    job abort — the scanner's per-file IOError discipline,
-    /root/reference/scanner/fileHasher.py:406-430)."""
+    """Real decode with per-row quarantine (undecodable payloads yield null
+    dims/features, never a job abort — the scanner's per-file IOError
+    discipline, /root/reference/scanner/fileHasher.py:406-430):
+
+    * image — built-in PPM/PGM/BMP parsers first (bit-stable across
+      environments), PIL fallback for compressed formats (PNG/JPEG/...);
+    * audio — built-in RIFF WAVE PCM parser (_parse_wav_pcm) + RMS energy
+      envelope features in the same FEATURE_DIM space; compressed audio
+      quarantines (a soundfile/torchaudio branch would plug in beside the
+      parser, same contract);
+    * video — optional pyav branch (_try_pyav_video: frame-sampled temporal
+      aHash mean-pool) when pyav is installed; without pyav, video raises
+      NotImplementedError at this exact plug point — the one remaining
+      declared stub (no codec parses video dependency-free).
+    """
     n = len(payloads)
     width = np.zeros(n, dtype=np.int32)
     height = np.zeros(n, dtype=np.int32)
@@ -213,11 +315,32 @@ def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
         if raw is None:
             feats.append(None)
             continue
+        if mt == "audio":
+            parsed = _parse_wav_pcm(bytes(raw))
+            fv = _energy_features(parsed[0]) if parsed is not None else None
+            if fv is None:
+                feats.append(None)
+                continue
+            frames[i] = min(len(parsed[0]), np.iinfo(np.int32).max)
+            feats.append(fv)
+            continue
+        if mt == "video":
+            try:
+                import av  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    "video decode requires pyav; install it or plug another "
+                    "decoder in here — the Spark plumbing is unchanged"
+                ) from None
+            out = _try_pyav_video(bytes(raw))
+            if out is None:
+                feats.append(None)
+                continue
+            width[i], height[i], frames[i], fv = out
+            feats.append(fv)
+            continue
         if mt != "image":
-            raise NotImplementedError(
-                "real audio/video codecs (pyav/torchaudio) are not available; "
-                "plug the decoder in here — the Spark plumbing is unchanged"
-            )
+            raise NotImplementedError(f"unknown media_type {mt!r}")
         raw = bytes(raw)
         # Built-in parsers FIRST: they use unrounded float luma, while PIL's
         # convert("L") rounds to uint8 — trying them first means a given

@@ -109,26 +109,47 @@ def make_shingle_hashes_udf(k_shingle: int):
     return shingle_hashes_udf
 
 
-def make_fast_signatures_udf(k_shingle: int, params: MinHashParams):
+def make_fast_signatures_udf(
+    k_shingle: int, params: MinHashParams, winnow_w: int | None = None
+):
     """text -> struct(simhash long, minhash array<long>, shingle_hashes
-    array<long>) via the string-free vectorized kernel
-    (hashing.signatures_batch) — the pipeline's scale path. One Arrow
-    transfer of the text, one tokenize, numpy everywhere else.
+    array<long>[, win_interior array<long>, win_boundary array<long>]) via
+    the string-free vectorized kernel (hashing.signatures_batch) — the
+    pipeline's scale path. One Arrow transfer of the text, one tokenize,
+    numpy everywhere else. winnow_w adds the containment anchor universe
+    (hashing.winnow_split) computed from the same shingle-hash sequence.
     """
     from pyspark.sql.types import StructField, StructType
 
     from .hashing import signatures_batch
 
-    schema = StructType(
-        [
-            StructField("simhash", LongType()),
-            StructField("minhash", ArrayType(LongType())),
-            StructField("shingle_hashes", ArrayType(LongType())),
+    fields = [
+        StructField("simhash", LongType()),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("shingle_hashes", ArrayType(LongType())),
+    ]
+    if winnow_w is not None:
+        fields += [
+            StructField("win_interior", ArrayType(LongType())),
+            StructField("win_boundary", ArrayType(LongType())),
         ]
-    )
+    schema = StructType(fields)
 
     @F.pandas_udf(schema)
     def fast_sig_udf(texts: pd.Series) -> pd.DataFrame:
+        if winnow_w is not None:
+            sim, mh, sh, wi, wb = signatures_batch(
+                texts.tolist(), k_shingle, params, winnow_w=winnow_w
+            )
+            return pd.DataFrame(
+                {
+                    "simhash": sim,
+                    "minhash": mh,
+                    "shingle_hashes": sh,
+                    "win_interior": wi,
+                    "win_boundary": wb,
+                }
+            )
         sim, mh, sh = signatures_batch(texts.tolist(), k_shingle, params)
         return pd.DataFrame(
             {"simhash": sim, "minhash": mh, "shingle_hashes": sh}
@@ -172,6 +193,59 @@ def make_minhash_shingles_udf(k_shingle: int, params: MinHashParams):
         return pd.DataFrame({"minhash": mh_out, "shingle_hashes": sh_out})
 
     return sig_udf
+
+
+def make_winnow_shingles_udf(k_shingle: int, winnow_w: int):
+    """text -> struct(shingle_hashes array<long>, win_interior array<long>,
+    win_boundary array<long>): the full distinct shingle-hash set plus its
+    winnow_split (hashing), all from ONE tokenize + hash pass — the
+    standalone-containment twin of make_fast_signatures_udf(winnow_w=...)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from .hashing import _shingle_mix, tokenize, winnow_split
+
+    schema = StructType(
+        [
+            StructField("shingle_hashes", ArrayType(LongType())),
+            StructField("win_interior", ArrayType(LongType())),
+            StructField("win_boundary", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def winnow_udf(texts: pd.Series) -> pd.DataFrame:
+        sh_out, wi_out, wb_out = [], [], []
+        tok_memo: dict[str, int] = {}
+        for text in texts:
+            toks = tokenize(text) if isinstance(text, str) else []
+            if len(toks) < k_shingle:
+                sh_out.append(None)
+                wi_out.append(None)
+                wb_out.append(None)
+                continue
+            th = np.empty(len(toks), dtype=np.uint64)
+            for j, t in enumerate(toks):
+                h = tok_memo.get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                    )
+                    tok_memo[t] = h
+                th[j] = h
+            seq = (_shingle_mix(th, k_shingle) >> np.uint64(32)).astype(np.int64)
+            wi, wb = winnow_split(seq, winnow_w)
+            sh_out.append(np.unique(seq).tolist())
+            wi_out.append(wi.tolist())
+            wb_out.append(wb.tolist())
+        return pd.DataFrame(
+            {
+                "shingle_hashes": sh_out,
+                "win_interior": wi_out,
+                "win_boundary": wb_out,
+            }
+        )
+
+    return winnow_udf
 
 
 def make_min_shingle_udf(k_shingle: int):

@@ -55,6 +55,9 @@ def containment_pairs(
     shingle_col: str | None = None,
     hot_anchor_cap: int | None = 250_000,
     broadcast_anchors: bool = True,
+    winnow_w: int | None = None,
+    winnow_interior_col: str | None = None,
+    winnow_boundary_col: str | None = None,
 ) -> DataFrame:
     """(inner_id, outer_id) where inner text ⊂ outer text, len(inner) < len(outer).
 
@@ -111,8 +114,41 @@ def containment_pairs(
     inner doc. At 10^9+ docs the anchor set exceeds broadcast capacity; pass
     False to keep it a shuffle semi-join (both sides partitioned on the
     shingle hash), which is the scale-safe plan VERDICT r1 asked for.
+
+    winnow_w (opt-in): shrink the df/anchor exchange ~(w+1)/2-fold by
+    exploding each doc's WINNOWED shingle selection (window-w sliding min,
+    functions/hashing.winnow_split) instead of its full shingle set. The
+    recall guarantee stays deterministic: anchors are drawn only from
+    *interior*-window selections, which a true outer provably also selects
+    (its corresponding windows have identical content), so the anchor
+    equi-join still finds every (inner, outer) pair — no sampling, no
+    probability. Boundary-window selections (<= 2 values, possibly perturbed
+    by a mid-token cut) stay in the exchange for the outer side and the
+    all-multi gate (slack=2 covers them) but are never anchors. Caveat: a
+    doc with fewer than winnow_w + 2 shingles has no interior window and
+    cannot be detected as an INNER — enable winnowing only where true inner
+    duplicates are longer than winnow_w + k_shingle + 1 tokens (web pages:
+    yes; tweet-sized corpora: keep None). Pass winnow_interior_col /
+    winnow_boundary_col when compute_docs already carries the split
+    (engine/pipeline with cfg.containment_winnow_w); otherwise the split is
+    computed here from the text.
     """
-    if shingle_col is None:
+    winnowing = winnow_interior_col is not None or winnow_w is not None
+    if winnowing and winnow_interior_col is None:
+        # compute full set + winnow split in ONE kernel pass over the text
+        from ..functions.udfs import make_winnow_shingles_udf
+
+        sig = make_winnow_shingles_udf(k_shingle, winnow_w)(F.col(text_col))
+        docs = (
+            docs.withColumn("_wsig", sig)
+            .withColumn("_sh", F.col("_wsig.shingle_hashes"))
+            .withColumn("_wint", F.col("_wsig.win_interior"))
+            .withColumn("_wbnd", F.col("_wsig.win_boundary"))
+            .drop("_wsig")
+        )
+        shingle_col = "_sh"
+        winnow_interior_col, winnow_boundary_col = "_wint", "_wbnd"
+    elif shingle_col is None:
         from ..functions.udfs import make_shingle_hashes_udf
 
         docs = docs.withColumn(
@@ -126,6 +162,14 @@ def containment_pairs(
         F.col(text_col).alias("_text"),
         F.length(text_col).alias("_len"),
         F.col(shingle_col).alias("_sh"),
+        *(
+            [
+                F.col(winnow_interior_col).alias("_wint"),
+                F.col(winnow_boundary_col).alias("_wbnd"),
+            ]
+            if winnowing
+            else []
+        ),
     )
     # docs with < k_shingle tokens have no anchor and are skipped: containment
     # is only defined for inner docs of at least one shingle (degenerate/empty
@@ -136,14 +180,31 @@ def containment_pairs(
     # shingle hash ONCE: the df groupBy, the df>=2 join-back, and the outer
     # side of the candidate join all read this one shuffle output via
     # ReuseExchange instead of each re-exploding/re-exchanging the table.
-    exploded = base.select(F.col("_id"), F.explode("_sh").alias("s")).repartition(
-        "s"
-    )
+    if winnowing:
+        # winnowed universe: interior values first, then boundary; the
+        # position bit rides the exchange (1 byte) so the anchor ranking can
+        # filter to the guaranteed-interior slice without a second explode
+        exploded = (
+            base.select(
+                "_id",
+                F.size("_wint").alias("_ni"),
+                F.posexplode(F.concat("_wint", "_wbnd")).alias("_pos", "s"),
+            )
+            .select(
+                "_id", "s", (F.col("_pos") < F.col("_ni")).alias("_int")
+            )
+            .repartition("s")
+        )
+    else:
+        exploded = base.select(
+            F.col("_id"), F.explode("_sh").alias("s")
+        ).repartition("s")
     from pyspark.sql.window import Window
 
     n_anchors = slack + 1  # pigeonhole: at least one interior anchor survives
     multi = (
-        exploded.groupBy("s")
+        exploded.select("_id", "s")
+        .groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
@@ -168,8 +229,15 @@ def containment_pairs(
     # ObjectHashAggregate's sort-based fallback at high key cardinality made
     # it 2-8x slower. `shared`'s subtree appears in both branches below and
     # its exchanges are deduped by ReuseExchange — written once, read twice.)
+    # gate counts run over the SAME universe the exchange carries: the full
+    # shingle set normally, the winnowed selection under winnowing (a true
+    # inner's interior selections are all df>=2; only the <= slack boundary
+    # selections can miss)
+    universe_size = (
+        (F.size("_wint") + F.size("_wbnd")) if winnowing else F.size("_sh")
+    )
     meta = base.select(
-        F.col("_id"), F.col("_len"), F.size("_sh").alias("_n_sh")
+        F.col("_id"), F.col("_len"), universe_size.alias("_n_sh")
     )
     passing = (
         shared.groupBy("_id")
@@ -182,8 +250,11 @@ def containment_pairs(
         # bounded by construction at web scale (fully-shared-shingle docs);
         # the 10^9+-doc plan keeps it a shuffle join like the anchor join
         passing = F.broadcast(passing)
+    # under winnowing only interior-window selections are valid anchors
+    # (guaranteed present in a true outer's winnowed set — see docstring)
+    anchorable = shared.filter(F.col("_int")) if winnowing else shared
     inner = (
-        shared.join(passing, "_id")
+        anchorable.join(passing, "_id")
         .select(
             "_id",
             "s",

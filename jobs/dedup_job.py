@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--minhash-bands", type=int, default=32)
     p.add_argument("--hot-band-threshold", type=int, default=500)
     p.add_argument("--jaccard-verify-threshold", type=float, default=0.7)
+    p.add_argument(
+        "--containment-winnow-w", type=int, default=None,
+        help="winnowed containment anchors (exchange cut ~(w+1)/2x); only "
+        "safe when true inner dups exceed w + k_shingle + 1 tokens "
+        "(web pages: 8). Default off.",
+    )
     p.add_argument("--master", default=None, help="override (tests); omit under spark-submit")
     args = p.parse_args(argv)
 
@@ -68,6 +74,7 @@ def main(argv: list[str] | None = None) -> None:
         minhash_bands=args.minhash_bands,
         hot_band_threshold=args.hot_band_threshold,
         jaccard_verify_threshold=args.jaccard_verify_threshold,
+        containment_winnow_w=args.containment_winnow_w,
     )
     ck = StageCheckpointer(root=args.checkpoint_dir)
     catalog = for_spark(spark, args.warehouse)

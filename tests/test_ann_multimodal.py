@@ -152,12 +152,91 @@ class TestMultimodal:
         assert rows[1]["n_frames"] == 1 and rows[3]["n_frames"] > 1
         assert rows[4]["features"] is None and rows[4]["n_bytes"] == 0
 
-    def test_real_backend_audio_video_is_explicit_stub(self, spark):
+    def test_real_backend_video_is_explicit_stub_without_pyav(self, spark):
+        """Video decode without pyav raises at the declared plug point (with
+        pyav installed the optional branch decodes instead — skip then)."""
+        try:
+            import av  # noqa: F401
+
+            pytest.skip("pyav installed: video branch is live, not a stub")
+        except ImportError:
+            pass
         with pytest.raises(Exception) as ei:
             decode_media(_media(spark), decode_backend="real").collect()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+    def test_real_backend_decodes_wav_pcm_golden(self, spark):
+        """decode_backend='real' on genuine audio bytes (RIFF WAVE PCM16, no
+        codec lib needed), checked against an independently computed RMS
+        energy envelope."""
+        import math
+        import struct
+
+        rate, n = 8000, 1600
+        samples = [
+            int(12000 * math.sin(2 * math.pi * 440 * t / rate)) for t in range(n)
+        ]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        rows = [Row(media_id=1, url="a.wav", media_type="audio", payload=wav)]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert out["n_frames"] == n
+        assert len(out["features"]) == FEATURE_DIM
+        # independent expectation: plain-Python RMS over 64 equal bins
+        xs = [s / 32768.0 for s in samples]
+        binsz = n // FEATURE_DIM
+        pooled = [
+            math.sqrt(
+                sum(v * v for v in xs[i * binsz : (i + 1) * binsz]) / binsz
+            )
+            for i in range(FEATURE_DIM)
+        ]
+        mean = sum(pooled) / FEATURE_DIM
+        cent = [v - mean for v in pooled]
+        norm = sum(v * v for v in cent) ** 0.5
+        want = [v / norm for v in cent]
+        assert max(abs(a - b) for a, b in zip(out["features"], want)) < 1e-5
+
+    def test_real_backend_stereo_8bit_wav_and_bad_audio_quarantined(self, spark):
+        """8-bit stereo PCM decodes (channel-mean mono); compressed/garbage
+        audio quarantines instead of aborting."""
+        n = 256
+        # stereo u8: L = 128+i%64, R = 128-(i%64) -> mono mean = exactly 128 (silence)
+        data = bytes(
+            b for i in range(n) for b in (128 + (i % 64), 128 - (i % 64))
+        )
+        wav = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        rows = [
+            Row(media_id=1, url="s.wav", media_type="audio", payload=wav),
+            Row(media_id=2, url="x.mp3", media_type="audio", payload=b"\xff\xfb" * 99),
+        ]
+        got = {
+            r["media_id"]: r
+            for r in decode_media(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA),
+                decode_backend="real",
+            ).collect()
+        }
+        assert got[1]["n_frames"] == n and len(got[1]["features"]) == FEATURE_DIM
+        assert got[2]["features"] is None
 
     def test_real_backend_decodes_ppm_golden(self, spark):
         """decode_backend='real' on genuine image bytes (binary PPM, no codec

@@ -210,3 +210,61 @@ class TestSpecVsDuckDB:
             f"SELECT {sql_shingle_hash32(chr(39) + 'a b c d e' + chr(39))}"
         ).fetchone()[0]
         assert got == shingle_hash32("a b c d e")
+
+
+class TestWinnowSplit:
+    """hashing.winnow_split: the containment anchor-universe kernel."""
+
+    def test_interior_guarantee_under_perturbed_slice(self):
+        """Any interior selection of a contiguous slice (with first/last
+        element perturbed, the mid-token-cut analog) must appear in the full
+        sequence's winnowed set — the deterministic anchor guarantee."""
+        from intraarchivededuplicator_spark.functions.hashing import winnow_split
+
+        rng = np.random.RandomState(7)
+        for trial in range(20):
+            outer = rng.randint(0, 1 << 31, size=200).astype(np.int64)
+            lo = rng.randint(0, 80)
+            hi = lo + rng.randint(30, 100)
+            inner = outer[lo:hi].copy()
+            inner[0] ^= 99991
+            inner[-1] ^= 77773
+            for w in (4, 8, 12):
+                oi, ob = winnow_split(outer, w)
+                owin = set(oi.tolist()) | set(ob.tolist())
+                ii, _ = winnow_split(inner, w)
+                assert all(v in owin for v in ii.tolist()), (trial, w)
+
+    def test_density(self):
+        """Expected winnowing density is ~2/(w+1) on random input."""
+        from intraarchivededuplicator_spark.functions.hashing import winnow_split
+
+        rng = np.random.RandomState(1)
+        seq = rng.randint(0, 1 << 31, size=20000).astype(np.int64)
+        w = 8
+        wi, wb = winnow_split(seq, w)
+        density = (len(wi) + len(wb)) / len(seq)
+        assert 0.15 < density < 0.3, density
+
+    def test_short_sequences(self):
+        from intraarchivededuplicator_spark.functions.hashing import winnow_split
+
+        wi, wb = winnow_split(np.array([5, 3, 9], dtype=np.int64), 8)
+        assert len(wi) == 0 and sorted(wb.tolist()) == [3, 5, 9]
+        # exactly w elements: one window, no interior
+        wi, wb = winnow_split(np.arange(8, dtype=np.int64), 8)
+        assert len(wi) == 0 and wb.tolist() == [0]
+
+    def test_disjoint_and_complete(self):
+        """interior and boundary partition the winnowed value set."""
+        from intraarchivededuplicator_spark.functions.hashing import winnow_split
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        rng = np.random.RandomState(3)
+        seq = rng.randint(0, 1000, size=500).astype(np.int64)  # force ties
+        w = 6
+        wi, wb = winnow_split(seq, w)
+        assert not set(wi.tolist()) & set(wb.tolist())
+        mins = sliding_window_view(seq, w).min(axis=1)
+        assert set(wi.tolist()) | set(wb.tolist()) == set(np.unique(mins).tolist())
+        assert set(wi.tolist()) == set(np.unique(mins[1:-1]).tolist())

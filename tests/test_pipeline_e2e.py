@@ -184,6 +184,75 @@ def test_containment_operator_differential(spark, corpus):
     assert got == expect
 
 
+def test_containment_winnowed_differential(spark, corpus):
+    """winnow_w shrinks the df/anchor exchange ~4.5x but must emit the
+    IDENTICAL pair set (deterministic interior-anchor guarantee,
+    hashing.winnow_split): differential vs the O(n^2) oracle on the synth
+    corpus (min 200 tokens >> winnow_w + k + 1)."""
+    pages, _, _ = corpus
+    docs = compute_docs(pages, CFG).select("id", "text").cache()
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(
+            docs, "id", "text", CFG.k_shingle, winnow_w=8
+        ).collect()
+    }
+    expect = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs_bruteforce(docs, "id", "text").collect()
+    }
+    assert len(expect) > 0
+    assert got == expect
+
+
+def test_containment_winnowed_via_pipeline_columns(spark, corpus):
+    """cfg.containment_winnow_w routes the kernel-precomputed win_interior /
+    win_boundary columns through compute_docs into containment_pairs; the
+    pair set must match the non-winnowed default path."""
+    pages, _, _ = corpus
+    cfg_w = DedupConfig(
+        hot_band_threshold=100, hot_band_salt=4, containment_winnow_w=8
+    )
+    docs = compute_docs(pages, cfg_w).cache()
+    assert "win_interior" in docs.columns and "win_boundary" in docs.columns
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(
+            docs,
+            "id",
+            "text",
+            cfg_w.k_shingle,
+            shingle_col="shingle_hashes",
+            winnow_interior_col="win_interior",
+            winnow_boundary_col="win_boundary",
+        ).collect()
+    }
+    expect = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs_bruteforce(
+            docs.select("id", "text"), "id", "text"
+        ).collect()
+    }
+    assert len(expect) > 0
+    assert got == expect
+
+
+def test_containment_winnowed_midtoken_boundary(spark):
+    """Mid-token cut + winnowing: the perturbed first/last shingle can only
+    poison the first/last window's selection, which winnow_split quarantines
+    to the boundary slice — anchors stay interior, so the pair is found."""
+    words = [f"w{i:02d}" for i in range(60)]
+    outer = " ".join(words)
+    inner = outer[2:-2]  # cut mid-token at BOTH ends
+    rows = [(1, inner), (2, outer), (3, inner)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(docs, "id", "text", 5, winnow_w=5).collect()
+    }
+    assert (1, 2) in got and (3, 2) in got
+
+
 def test_containment_boundary_anchor_not_missed(spark):
     """ADVICE r2 regression: with a single min-df anchor, a mid-token cut
     whose boundary shingle gains df>=2 from a THIRD doc (here: an exact copy

@@ -58,14 +58,14 @@ def run(cpus: int) -> None:
     )
     sc = spark.sparkContext
     pages = spark.read.parquet(f"{CORPUS_DIR}/pages.parquet")
-    cfg = DedupConfig()
+    cfg = DedupConfig(containment_winnow_w=8)
 
     from intraarchivededuplicator_spark.engine.pipeline import dedup_pipeline
     from tools.scaling_bench import cpu_canary
 
     # 10%-sample JIT warm-up (same as scaling_bench): per-stage walls should
     # measure compiled-code throughput, not whichever stage pays C2 first
-    warm = dedup_pipeline(spark, pages.sample(0.1, seed=7), DedupConfig())
+    warm = dedup_pipeline(spark, pages.sample(0.1, seed=7), cfg)
     warm["clusters"].count()
     warm["docs"].unpersist()
     warm["pairs"].unpersist()
@@ -140,7 +140,19 @@ def run(cpus: int) -> None:
     phase("jaccard_verify", jac.count)
 
     cont = containment_pairs(
-        matchable2, "id", "text", cfg.k_shingle, shingle_col="shingle_hashes"
+        matchable2,
+        "id",
+        "text",
+        cfg.k_shingle,
+        shingle_col="shingle_hashes",
+        **(
+            {
+                "winnow_interior_col": "win_interior",
+                "winnow_boundary_col": "win_boundary",
+            }
+            if "win_interior" in matchable2.columns
+            else {}
+        ),
     )
     phase("containment", cont.count)
 

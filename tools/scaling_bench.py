@@ -85,6 +85,11 @@ def measured_run(cpus: int) -> dict:
 
     from intraarchivededuplicator_spark.config import DedupConfig
     from intraarchivededuplicator_spark.engine.pipeline import dedup_pipeline
+
+    # winnowed containment anchors (hashing.winnow_split): the corpus is
+    # web pages of >= 200 tokens, far above the w + k + 1 inner-length
+    # bound, so the ~4.5x df/anchor exchange cut is recall-lossless here
+    SCALE_CFG = DedupConfig(containment_winnow_w=8)
     from intraarchivededuplicator_spark.session import get_spark
 
     # Emulation fidelity: a local[N] JVM on a 32-core host still sizes its
@@ -111,14 +116,14 @@ def measured_run(cpus: int) -> dict:
     # that lands on whichever run goes first and (on the 4N side) can exceed
     # the whole compute — the cluster-relevant number is the compiled-code
     # rate, which is what a long-running job sees.
-    warm = dedup_pipeline(spark, pages.sample(0.1, seed=7), DedupConfig())
+    warm = dedup_pipeline(spark, pages.sample(0.1, seed=7), SCALE_CFG)
     warm["clusters"].count()
     warm["docs"].unpersist()
     warm["pairs"].unpersist()
 
     canary = cpu_canary()
     t0 = time.time()
-    out = dedup_pipeline(spark, pages, DedupConfig())
+    out = dedup_pipeline(spark, pages, SCALE_CFG)
     n_docs = out["docs"].count()
     n_pairs = out["pairs"].count()
     clusters = out["clusters"]

@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set-similarity + containment (J12)
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "containment_pairs": q.q_containment_pairs,
+        "containment_pairs_winnowed": q.q_containment_pairs_winnowed,
         # text analysis
         "doc_stats": q.q_doc_stats,
         "token_stats_bpe": q.q_token_stats_bpe,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),
         "containment_pairs": o.sql_containment_pairs(K_SHINGLE),
+        "containment_pairs_winnowed": o.sql_containment_pairs(K_SHINGLE),
         "doc_stats": o.sql_doc_stats(),
         "token_stats_bpe": o.sql_token_stats_bpe(),
         "lang_top_terms": o.sql_lang_top_terms(),

@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_band_pairs",
     "exact_dup_groups",
     "containment_pairs",
+    "containment_pairs_winnowed",
     # analytics / search surface
     "best_simhash_match",
     "ngram_jaccard_pairs",

@@ -224,6 +224,23 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+def q_containment_pairs_winnowed(spark, sf_dir):
+    """The winnowed-anchor containment plan (operators/containment.py
+    winnow_w; functions/hashing.winnow_split) under the same exact-substring
+    oracle as containment_pairs: the interior-anchor guarantee is
+    deterministic for inners of >= winnow_w + 2 shingles, and the documents
+    table's minimum is 10 tokens = 6 shingles at k=5, so w=3 keeps at least
+    one interior window for every doc — identical result set, ~half the
+    df/anchor exchange. (The flagship web-page pipeline uses w=8 for the
+    full ~4.5x cut; see DedupConfig.containment_winnow_w.)"""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return containment_pairs(d, "id", "text", K_SHINGLE, winnow_w=3).select(
+        "inner_id", "outer_id"
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 def q_doc_stats(spark, sf_dir):

@@ -352,7 +352,7 @@ the regime the north rule describes.
                 "simhash_banded": "exchange (band explode + self-join)",
                 "minhash_candidates": "exchange (band explode + self-join)",
                 "jaccard_verify": "exchange + cpu verify",
-                "containment": "exchange (62M-row df groupBy + anchor join)",
+                "containment": "exchange (winnowed ~14M-row df groupBy + anchor join; was 62M pre-winnowing)",
                 "build_pairs_full": "(all pair legs + union dedup)",
                 "clusters": "iterative, small input",
             }

@@ -44,41 +44,80 @@ def minhash_candidate_pairs(
 
     Null signatures (no shingles — degenerate docs) are excluded, mirroring
     the pHash IS NOT NULL gate (/root/reference/dbApi.py:395-404).
+
+    Physical plan, hot-capped path (the engine default — pipeline passes
+    cfg.hot_band_threshold): ONE exchange total. The exploded (band_key, id)
+    rows are hash-partitioned on band_key; a window count over the clustered
+    rows gates singleton and hot buckets WITHOUT a second exchange or a
+    broadcast barrier (the old plan paid a separate pre-aggregation job +
+    broadcast anti-join + a shuffle-hash self-join + the pair groupBy — four
+    coordinated stages whose fixed costs dominated at low data-per-core and
+    capped the stage's 2->8 scaling at 0.45); the surviving buckets collapse
+    to id lists (bounded by hot_threshold, so a bucket is <= threshold longs)
+    and pairs are emitted JVM-side from each list with a nested transform —
+    no join at all. The band id is NOT part of the bucket key: band_key =
+    xxhash64(band_id, slice) already embeds it, so dropping the column slims
+    every exchanged row (the old join key carried it redundantly).
+
+    Unbounded path (hot_threshold=None, the strict all-pairs variant used by
+    oracle-parity queries): bucket width is unbounded, so materializing
+    C(m, 2) pairs per bucket row could not be memory-safe — the plan stays a
+    streaming shuffle-hash self-join over one reused exchange.
     """
     src = df.filter(F.col(sig_col).isNotNull())
-    sig_len_expr = F.size(F.col(sig_col))
     if rows_per_band is None:
         # infer from the first row at plan time is not possible; require caller
         # config — default derived from common 128-sig
         rows_per_band = 4
     bands = src.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(minhash_band_keys(sig_col, n_bands, rows_per_band)).alias(
-            "band_id", "band_key"
+        F.explode(minhash_band_keys(sig_col, n_bands, rows_per_band)).alias(
+            "band_key"
         ),
-    )
+    ).repartition("band_key")
     if hot_threshold is not None:
-        # over the RAW exploded rows so partial aggregation combines map-side
-        hot = (
-            bands.groupBy("band_id", "band_key")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > hot_threshold)
-            .select("band_id", "band_key")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_key")
+        buckets = (
+            bands.withColumn("_n", F.count("*").over(w))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= hot_threshold))
+            .groupBy("band_key")
+            .agg(F.collect_list("_id").alias("_ids"))
         )
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
-    # ONE exchange for the whole self-join: repartition on the join key with
-    # the _la/_lb aliasing ABOVE it — both join children canonicalize to the
-    # same subtree, so the right side is a ReusedExchange (bands exploded +
-    # shuffled once, read twice)
-    bands = bands.repartition("band_id", "band_key")
-    l = bands.select("band_id", "band_key", F.col("_id").alias("_la"))
-    r = bands.select("band_id", "band_key", F.col("_id").alias("_lb"))
-    return (
-        l.join(r.hint("shuffle_hash"), ["band_id", "band_key"])
-        .filter(F.col("_la") < F.col("_lb"))
-        .select(*canonical_pair("_la", "_lb"))
-        .groupBy("id_lo", "id_hi")
-        .agg(F.count("*").alias("n_shared_bands"))
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids",
+                        lambda x, i: F.transform(
+                            F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                            lambda y: F.struct(
+                                F.least(x, y).alias("id_lo"),
+                                F.greatest(x, y).alias("id_hi"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        ).select("_p.id_lo", "_p.id_hi")
+        # same-doc self-pairs require a cross-band 64-bit key collision within
+        # one doc (the old (band_id, key) join had the same exposure through
+        # key collisions within a band); filtered for exactness either way
+        pairs = pairs.filter(F.col("id_lo") != F.col("id_hi"))
+    else:
+        # both join children canonicalize to the same repartitioned subtree,
+        # so the right side is a ReusedExchange (exploded + shuffled once,
+        # read twice)
+        l = bands.select("band_key", F.col("_id").alias("_la"))
+        r = bands.select("band_key", F.col("_id").alias("_lb"))
+        pairs = (
+            l.join(r.hint("shuffle_hash"), ["band_key"])
+            .filter(F.col("_la") < F.col("_lb"))
+            .select(*canonical_pair("_la", "_lb"))
+        )
+    return pairs.groupBy("id_lo", "id_hi").agg(
+        F.count("*").alias("n_shared_bands")
     )
 
 

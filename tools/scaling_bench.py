@@ -222,7 +222,11 @@ def orchestrate() -> None:
     speedup = r8["wall_sec"] / r32["wall_sec"]
     efficiency = speedup / (hi / lo)
     summary = {
-        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        # rows are part of the metric identity: pairs measured on different
+        # corpus sizes must never best-of-merge with each other (fixed
+        # driver-side costs weigh differently per size, so the efficiencies
+        # are different measurements, both published)
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores_{N_ROWS // 1000}k",
         "value": round(efficiency, 4),
         "unit": "fraction",
         "speedup": round(speedup, 3),

@@ -503,6 +503,21 @@ core budget with -XX:ActiveProcessorCount=N so the low-core run does not
 borrow the 32-core host's GC/JIT thread pools (a real N-core executor has
 neither).
 
+Several N->4N pairs are published side by side (metric names carry the
+corpus size; different sizes never best-of-merge). Which pair carries the
+most signal on THIS sandbox: the host's episodic throttle caps the guest's
+AGGREGATE CPU at roughly 4-11 core-equivalents (probe table at the bottom),
+so the local[8] and local[32] legs are frequently squeezed below their
+nominal core budget while sub-cap legs run at full per-core speed. The
+**1 -> 4 pair is therefore the highest-fidelity engine measurement
+available here** — both of its legs fit under the cap in every observed
+window — while the 2->8 and especially 8->32 pairs additionally carry the
+host's cap and bare-exchange/membw ceilings (measured engine-free below)
+on their high-core leg. On a real cluster the regime is reversed: each
+added executor brings its own cores, memory controllers, and shuffle
+disks, so none of those single-box ceilings apply to an N -> 4N executor
+scale-up.
+
 {body}
 Regenerate: `python tools/scaling_bench.py` (corpus cached in /tmp;
 SCALE_ROWS / SCALE_LEVELS / SCALE_ATTEMPTS env knobs; pairs from separate

@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q.q_simhash_signatures,
         "simhash_radius_pairs": q.q_simhash_radius_pairs,
         "simhash_radius_search": q.q_simhash_radius_search,
+        "near_pairs_within_horizon": q.q_near_pairs_within_horizon,
         "simhash_clusters": q.q_simhash_clusters,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
@@ -105,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_hash_rows": o.sql_exact_hash_rows(),
         "simhash_signatures": o.sql_simhash_signatures(),
         "simhash_radius_pairs": o.sql_simhash_radius_pairs(SIMHASH_RADIUS),
+        "near_pairs_within_horizon": o.sql_near_pairs_within_horizon(
+            SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
+        ),
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
         "simhash_hot_bands": o.sql_simhash_hot_bands(

@@ -74,6 +74,49 @@ def hamming64(a: int, b: int) -> int:
     return bin(to_unsigned64(a) ^ to_unsigned64(b)).count("1")
 
 
+def popcount64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR), uint64 in -> int64 counts out.
+
+    numpy 1.x has no bitwise_count; this is the branch-free parallel-sum
+    trick, matching hamming64/bit_count(xor) bit-for-bit. Used by the
+    streaming near-dedup state kernel where the verify runs inside a pandas
+    group instead of as a JVM ``bit_count`` expression.
+    """
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def band_keys_np(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n,) int64 signatures -> (n, n_bands) int64 band keys.
+
+    Bit-exact numpy mirror of functions/columns.band_keys_array (LSB-first
+    contiguous slices, widths from columns.band_widths, logical shift so the
+    sign bit never leaks) — pinned against the Spark expression in tests.
+    Lets per-group Python kernels (streaming state) reason about the SAME
+    band layout the JVM explode produced, e.g. the min-colliding-band
+    exactly-once emission rule.
+    """
+    from .columns import band_widths  # local import: columns pulls in pyspark
+
+    sigs = np.asarray(sigs, dtype=np.int64)
+    u = sigs.astype(np.uint64)
+    out = np.empty((len(sigs), n_bands), dtype=np.int64)
+    offset = 0
+    for i, w in enumerate(band_widths(n_bands)):
+        if w == 64:
+            out[:, i] = sigs
+        else:
+            mask = np.uint64((1 << w) - 1)
+            out[:, i] = ((u >> np.uint64(offset)) & mask).astype(np.int64)
+        offset += w
+    return out
+
+
 def tokenize(text: str) -> list[str]:
     """Split on whitespace runs, dropping empties.
 

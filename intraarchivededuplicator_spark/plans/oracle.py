@@ -98,6 +98,25 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
 ORDER BY id_lo, id_hi"""
 
 
+def sql_near_pairs_within_horizon(
+    radius: int, horizon_sec: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Radius pairs additionally gated by |event-time delta| <= horizon, with
+    event time synthesized as doc_id * 61 seconds (the batch twin of the
+    streaming near-dedup operator; see plans/queries.q_near_pairs_within_horizon)."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)}
+SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+       bit_count(xor(a.simhash, b.simhash))::INT AS distance,
+       (greatest(a.doc_id, b.doc_id) * 61)::BIGINT AS pair_ts_sec
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+  AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+  AND abs(a.doc_id - b.doc_id) * 61 <= {horizon_sec}
+ORDER BY id_lo, id_hi"""
+
+
 def sql_simhash_clusters(radius: int, table: str = "documents", blacklist=(0,)) -> str:
     """Connected components over radius pairs via recursive CTE; every doc
     gets a cluster (singletons = own id)."""

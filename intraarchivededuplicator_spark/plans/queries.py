@@ -116,6 +116,27 @@ def q_simhash_clusters(spark, sf_dir):
     )
 
 
+NEAR_HORIZON_SEC = 14_400  # splits the sf0.01 radius-pair set 11/17
+
+
+def q_near_pairs_within_horizon(spark, sf_dir):
+    """Batch twin of the streaming near-dedup operator
+    (streaming/near_dedup_stream.stream_simhash_near_pairs) under the oracle
+    gate: same pair semantics — Hamming <= radius AND event-time delta <=
+    horizon — driving the REAL near_pairs_within_horizon helper the streaming
+    equivalence test pins the stateful operator against. ``documents``
+    carries no timestamp, so event time is synthesized deterministically
+    (doc_id * 61 seconds) identically in both engines."""
+    from ..streaming.near_dedup_stream import near_pairs_within_horizon
+
+    d = docs_with_sig(spark, sf_dir).withColumn(
+        "ts_sec", (F.col("doc_id") * 61).cast("long")
+    )
+    return near_pairs_within_horizon(
+        d, "doc_id", "simhash", "ts_sec", SIMHASH_RADIUS, NEAR_HORIZON_SEC
+    )
+
+
 def q_simhash_hot_bands(spark, sf_dir):
     """S13 skew registry as a driver query: SimHash band keys shared by more
     than one doc, with member counts — the high_incidence_hashes side table

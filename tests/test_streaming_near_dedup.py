@@ -193,6 +193,54 @@ class TestStreamingNearDedup:
             ("http://s/y1", "http://s/y2", 0)
         ]
 
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """North-rule resumability: the band-shard state lives in the
+        streaming state store, so a stopped query restarted from the same
+        checkpoint still pairs a new arrival with a page seen BEFORE the
+        restart — no re-read of old batches, no lost state."""
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+
+        sink = str(tmp_path / "pairs_sink")
+
+        def run_once():
+            # file sink (memory sink does not support checkpoint recovery)
+            stream = (
+                spark.readStream.schema(PAGES_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            out = stream_simhash_near_pairs(
+                stream, radius=4, watermark="24 hours", extract=False
+            )
+            q = (
+                out.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", sink)
+                .option("checkpointLocation", str(tmp_path / "ckpt_resume"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(sink).collect()
+
+        def drop(i, rows):
+            part = str(tmp_path / f"r{i}")
+            spark.createDataFrame(rows, schema=PAGES_SCHEMA).coalesce(1).write.parquet(part)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(part, f), os.path.join(landing, f"r{i}.parquet"))
+
+        drop(0, _corpus([("r1", 0, BASE)]))
+        first = run_once()  # processes r1, query stops
+        assert first == []
+
+        drop(1, _corpus([("r2", 30, BASE)]))
+        second = run_once()  # fresh query, same checkpoint
+        assert [(r["url_lo"], r["url_hi"], r["distance"]) for r in second] == [
+            ("http://s/r1", "http://s/r2", 0)
+        ]
+
     def test_hot_cap_bounds_state(self, spark, tmp_path):
         """hot_cap keeps only the newest members of a band key: within-batch
         pairs still all emit, but a capped-out old member no longer pairs

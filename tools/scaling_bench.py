@@ -258,11 +258,18 @@ def write_outputs(summary: dict | None) -> None:
         merged[summary["metric"]] = summary
     if not merged:
         raise SystemExit("no pairs to report")
-    if summary is None:
-        summary = next(iter(merged.values()))
     all_pairs = sorted(
         merged.values(), key=lambda p: int(p["metric"].split("_")[2])
     )
+    # Headline = the best bar-target pair (the 8->32 pair is box-ceiling
+    # context, never a bar target), independent of which pair was refined
+    # last — a watcher merge of a below-bar pair must not demote a
+    # bar-meeting headline already on record.
+    bar_targets = [
+        p for p in all_pairs
+        if not p["metric"].startswith("scaling_efficiency_8_to_32")
+    ] or all_pairs
+    summary = max(bar_targets, key=lambda p: p["value"])
     os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
     with open(OUT_JSON, "w") as f:
         json.dump({**summary, "all_pairs": all_pairs}, f, indent=2)

@@ -53,13 +53,16 @@ def _naive(d, threshold):
 
 
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
-def test_prefix_filter_is_lossless(spark, threshold):
+@pytest.mark.parametrize("strategy", ["prefix", "dense", "auto"])
+def test_jaccard_join_is_lossless(spark, threshold, strategy):
     docs = spark.createDataFrame(_corpus(), "doc_id long, text string").select(
         "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
     )
     got = {
         (r["id_lo"], r["id_hi"], r["n_shared"], r["jaccard"])
-        for r in jaccard_self_join(docs, "doc_id", "grams", threshold).collect()
+        for r in jaccard_self_join(
+            docs, "doc_id", "grams", threshold, strategy=strategy
+        ).collect()
     }
     d = docs.select(F.col("doc_id").alias("_id"), F.col("grams").alias("_g")).filter(
         F.size("_g") > 0
@@ -78,10 +81,43 @@ def test_prefix_filter_prunes_candidates(spark):
         "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
     )
     n = docs.filter(F.size("grams") > 0).count()
-    out = jaccard_self_join(docs, "doc_id", "grams", 0.5)
+    out = jaccard_self_join(docs, "doc_id", "grams", 0.5, strategy="prefix")
     # correctness of *result* is covered above; here assert the plan avoids
     # a raw gram join by checking the explain contains the windowed prefix
     # ranking (row_number over the (df, gram) canonical order)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" in plan
     assert out.count() < n * (n - 1) / 4
+
+
+def test_auto_picks_dense_on_tiny_universe(spark):
+    """The fixture corpus has a few hundred distinct trigrams, so auto must
+    take the bitmap branch: no window rank, a broadcast nested-loop pair
+    join, and pair arithmetic as scalar AND+popcount (never array ops)."""
+    docs = spark.createDataFrame(_corpus(), "doc_id long, text string").select(
+        "doc_id", F.array_distinct(char_ngrams("text", 3)).alias("grams")
+    )
+    out = jaccard_self_join(docs, "doc_id", "grams", 0.8, strategy="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "row_number" not in plan
+
+
+def test_auto_picks_prefix_on_large_universe(spark):
+    """Distinct hashed grams (universe >> DENSE_UNIVERSE_MAX) must route to
+    the prefix plan even though the doc count is tiny."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = []
+    for i in range(80):
+        base = rng.sample(range(1, 500_000), 60)  # ~4.8k distinct grams total
+        rows.append((i, base))
+        rows.append((1000 + i, base[:57] + rng.sample(range(500_000, 600_000), 3)))
+    docs = spark.createDataFrame(rows, "doc_id long, grams array<long>")
+    out = jaccard_self_join(docs, "doc_id", "grams", 0.5, strategy="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and it still finds the planted near-dup pairs
+    assert out.count() >= 40

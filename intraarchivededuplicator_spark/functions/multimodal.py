@@ -237,11 +237,110 @@ def _energy_features(mono: np.ndarray, grid: int = FEATURE_DIM) -> list[float] |
     return [float(x) for x in v.astype(np.float32)]
 
 
+def _temporal_ahash(frames: list[np.ndarray]) -> list[float] | None:
+    """Temporal mean-pool of per-frame aHash features: sample up to 8 frames
+    evenly, aHash each, mean across time, unit-normalize. Shared by the
+    built-in AVI parser and the pyav branch so a given gray-frame sequence
+    yields identical features regardless of which decoder produced it."""
+    if not frames:
+        return None
+    idx = np.linspace(0, len(frames) - 1, min(8, len(frames))).astype(int)
+    grid = int(FEATURE_DIM**0.5)
+    feats = []
+    for i in idx:
+        g = frames[i].astype(np.float64)
+        if g.shape[0] < grid or g.shape[1] < grid:
+            continue
+        feats.append(_ahash_features(g, grid=grid))
+    if not feats:
+        return None
+    v = np.mean(np.array(feats, dtype=np.float64), axis=0)
+    nrm = np.linalg.norm(v)
+    v = v / nrm if nrm > 0 else v
+    return [float(x) for x in v.astype(np.float32)]
+
+
+def _parse_avi_dib(raw: bytes) -> tuple[list[np.ndarray], int, int] | None:
+    """Dependency-free decoder for RIFF AVI with uncompressed DIB video frames
+    (BI_RGB 24-bit '##db' chunks) — the video analog of the WAV PCM parser:
+    a real container format that needs no codec library. Returns
+    (gray float64 frames, width, height) or None.
+
+    Walks the RIFF chunk tree (LIST chunks recurse), takes the video stream's
+    BITMAPINFOHEADER from 'strf', and decodes each '##db' frame exactly like
+    BMP pixel data: bottom-up BGR24 rows, stride padded to 4 bytes, ITU-R 601
+    luma. Compressed streams ('##dc' with a fourcc codec) return None — the
+    pyav branch's job."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI " or len(raw) < 12:
+        return None
+    bmp: tuple[int, int] | None = None  # (w, h) once a usable strf is seen
+    frame_bodies: list[bytes] = []
+    in_vids = False
+    stack: list[tuple[int, int]] = [(12, len(raw))]  # (cursor, end) per level
+    while stack:
+        i, end = stack.pop()
+        while i + 8 <= end:
+            cid = raw[i : i + 4]
+            csz = int.from_bytes(raw[i + 4 : i + 8], "little")
+            body_start = i + 8
+            body_end = min(body_start + csz, end)
+            nxt = body_start + csz + (csz & 1)  # chunks are word-aligned
+            if cid == b"LIST":
+                stack.append((nxt, end))  # resume siblings after the list
+                stack.append((body_start + 4, body_end))  # descend past list type
+                break
+            if cid == b"strh" and csz >= 4:
+                in_vids = raw[body_start : body_start + 4] == b"vids"
+            elif cid == b"strf" and in_vids and csz >= 40:
+                b = raw[body_start:body_end]
+                w = int.from_bytes(b[4:8], "little", signed=True)
+                h = int.from_bytes(b[8:12], "little", signed=True)
+                bpp = int.from_bytes(b[14:16], "little")
+                comp = int.from_bytes(b[16:20], "little")
+                if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                    return None  # compressed / exotic depth: not this parser's job
+                bmp = (w, h)
+            elif len(cid) == 4 and cid[:2].isdigit() and cid[2:4] == b"db":
+                if body_end - body_start == csz:  # skip truncated tail chunks
+                    frame_bodies.append(raw[body_start:body_end])
+            i = nxt
+    if bmp is None or not frame_bodies:
+        return None
+    w, h = bmp
+    stride = (w * 3 + 3) & ~3
+    frames: list[np.ndarray] = []
+    for body in frame_bodies:
+        if len(body) < stride * h:
+            continue  # truncated frame: drop it, keep the rest (quarantine-safe)
+        rows = np.frombuffer(body, dtype=np.uint8, count=stride * h)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        bgr = bgr[::-1]  # DIB rows are bottom-up
+        frames.append(
+            bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+        )
+    if not frames:
+        return None
+    return frames, w, h
+
+
+def _builtin_video(raw: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Built-in video pathway (_parse_avi_dib frames -> _temporal_ahash).
+    Returns (width, height, n_frames, features) or None."""
+    parsed = _parse_avi_dib(raw)
+    if parsed is None:
+        return None
+    frames, w, h = parsed
+    fv = _temporal_ahash(frames)
+    if fv is None:
+        return None
+    return w, h, len(frames), fv
+
+
 def _try_pyav_video(raw: bytes) -> tuple[int, int, int, list[float]] | None:
-    """Optional pyav pathway for video: sample up to 8 frames evenly, aHash
-    each, mean the per-frame features (temporal mean-pool), unit-normalize.
-    Returns (width, height, n_frames, features) or None when pyav is absent
-    or cannot parse the payload — same quarantine contract as images."""
+    """Optional pyav pathway for compressed video: decode the first video
+    stream to gray frames, then the shared _temporal_ahash pool. Returns
+    (width, height, n_frames, features) or None when pyav is absent or
+    cannot parse the payload — same quarantine contract as images."""
     try:
         import av  # not installed in codec-free containers
     except ImportError:
@@ -252,23 +351,11 @@ def _try_pyav_video(raw: bytes) -> tuple[int, int, int, list[float]] | None:
         with av.open(BytesIO(raw)) as container:
             stream = container.streams.video[0]
             frames = [f.to_ndarray(format="gray") for f in container.decode(stream)]
-        if not frames:
+        fv = _temporal_ahash(frames)
+        if fv is None:
             return None
-        idx = np.linspace(0, len(frames) - 1, min(8, len(frames))).astype(int)
-        grid = int(FEATURE_DIM**0.5)
-        feats = []
-        for i in idx:
-            g = frames[i].astype(np.float64)
-            if g.shape[0] < grid or g.shape[1] < grid:
-                continue
-            feats.append(_ahash_features(g, grid=grid))
-        if not feats:
-            return None
-        v = np.mean(np.array(feats, dtype=np.float64), axis=0)
-        nrm = np.linalg.norm(v)
-        v = v / nrm if nrm > 0 else v
         h, w = frames[0].shape[:2]
-        return int(w), int(h), len(frames), [float(x) for x in v.astype(np.float32)]
+        return int(w), int(h), len(frames), fv
     except Exception:
         return None
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.columns import char_ngrams, hamming, tokens
@@ -237,12 +238,22 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # --- containment (J12) -------------------------------------------------------
 
 def q_containment_pairs(spark, sf_dir):
+    # precompute + persist the shingle projection: the operator reads the
+    # docs frame twice (shingle explode, verify-text join), and re-running
+    # the shingle kernel per branch costs a full corpus scan each time. The
+    # persisted frame is the same slim projection the flagship's signature
+    # pass shares (engine/pipeline computes it once for all legs);
+    # MEMORY_AND_DISK keeps it spill-safe at scale.
+    from ..functions.udfs import make_shingle_hashes_udf
+
     d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text"
-    )
-    return containment_pairs(d, "id", "text", K_SHINGLE).select(
-        "inner_id", "outer_id"
-    )
+        F.col("doc_id").alias("id"),
+        "text",
+        make_shingle_hashes_udf(K_SHINGLE)(F.col("text")).alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return containment_pairs(
+        d, "id", "text", K_SHINGLE, shingle_col="_sh"
+    ).select("inner_id", "outer_id")
 
 
 def q_containment_pairs_winnowed(spark, sf_dir):
@@ -254,12 +265,30 @@ def q_containment_pairs_winnowed(spark, sf_dir):
     one interior window for every doc — identical result set, ~half the
     df/anchor exchange. (The flagship web-page pipeline uses w=8 for the
     full ~4.5x cut; see DedupConfig.containment_winnow_w.)"""
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text"
+    from ..functions.udfs import make_winnow_shingles_udf
+
+    sig = make_winnow_shingles_udf(K_SHINGLE, 3)(F.col("text"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"), "text", sig.alias("_wsig"))
+        .select(
+            "id",
+            "text",
+            F.col("_wsig.shingle_hashes").alias("_sh"),
+            F.col("_wsig.win_interior").alias("_wint"),
+            F.col("_wsig.win_boundary").alias("_wbnd"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return containment_pairs(d, "id", "text", K_SHINGLE, winnow_w=3).select(
-        "inner_id", "outer_id"
-    )
+    return containment_pairs(
+        d,
+        "id",
+        "text",
+        K_SHINGLE,
+        shingle_col="_sh",
+        winnow_interior_col="_wint",
+        winnow_boundary_col="_wbnd",
+    ).select("inner_id", "outer_id")
 
 
 # --- text analysis -----------------------------------------------------------

@@ -7,18 +7,18 @@ media as opaque `binary` columns with typed metadata, decode / feature /
 resize / frame-sample as Arrow-batched `mapInPandas` stages so each executor
 processes whole record batches without per-row Python.
 
-`decode_backend="real"` decodes IMAGES and AUDIO for real: images via
-built-in dependency-free PPM/PGM/BMP parsers (tried first, so features are
-bit-stable across environments) with a PIL fallback for compressed formats
-(PNG/JPEG/WebP/...); audio via a built-in RIFF WAVE PCM parser with RMS
-energy-envelope features in the same FEATURE_DIM space — both exercisable
-(and golden-tested) even in codec-free containers like this one. Video has
-an optional pyav branch (frame-sampled temporal aHash) under the same
-quarantine contract; without pyav it raises NotImplementedError at the exact
-plug point, the one remaining declared stub. The default
-`decode_backend="fake"` derives deterministic dimensions / frames / features
-from the payload bytes (blake2b) for plumbing tests that must not depend on
-any codec.
+`decode_backend="real"` decodes ALL THREE media types for real, even in
+codec-free containers like this one: images via built-in dependency-free
+PPM/PGM/BMP parsers (tried first, so features are bit-stable across
+environments) with a PIL fallback for compressed formats (PNG/JPEG/WebP/...);
+audio via a built-in RIFF WAVE PCM parser with RMS energy-envelope features
+in the same FEATURE_DIM space; video via a built-in RIFF AVI
+uncompressed-DIB parser (frame-sampled temporal aHash mean-pool) with an
+optional pyav fallback for codec-compressed containers. All three are
+golden-tested; undecodable payloads quarantine (null features), never abort
+the job. The default `decode_backend="fake"` derives deterministic
+dimensions / frames / features from the payload bytes (blake2b) for
+plumbing tests that must not depend on any codec.
 """
 
 from __future__ import annotations
@@ -388,10 +388,11 @@ def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
       envelope features in the same FEATURE_DIM space; compressed audio
       quarantines (a soundfile/torchaudio branch would plug in beside the
       parser, same contract);
-    * video — optional pyav branch (_try_pyav_video: frame-sampled temporal
-      aHash mean-pool) when pyav is installed; without pyav, video raises
-      NotImplementedError at this exact plug point — the one remaining
-      declared stub (no codec parses video dependency-free).
+    * video — built-in RIFF AVI uncompressed-DIB parser (_parse_avi_dib)
+      first, then the optional pyav branch for codec-compressed containers;
+      both feed the shared frame-sampled temporal aHash mean-pool
+      (_temporal_ahash). Unparseable video quarantines — same contract as
+      audio (a compressed payload without pyav yields null features).
     """
     n = len(payloads)
     width = np.zeros(n, dtype=np.int32)
@@ -412,14 +413,15 @@ def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
             feats.append(fv)
             continue
         if mt == "video":
-            try:
-                import av  # noqa: F401
-            except ImportError:
-                raise NotImplementedError(
-                    "video decode requires pyav; install it or plug another "
-                    "decoder in here — the Spark plumbing is unchanged"
-                ) from None
-            out = _try_pyav_video(bytes(raw))
+            raw_b = bytes(raw)
+            # Built-in AVI-DIB parser FIRST (bit-stable across environments,
+            # same ordering rationale as the image parsers), pyav fallback
+            # for codec-compressed containers, quarantine otherwise — the
+            # same contract as audio (no raise; compressed video without
+            # pyav yields null features, never a job abort).
+            out = _builtin_video(raw_b)
+            if out is None:
+                out = _try_pyav_video(raw_b)
             if out is None:
                 feats.append(None)
                 continue

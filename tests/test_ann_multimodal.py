@@ -132,6 +132,55 @@ class TestAnnTopK:
             assert sorted(r["ranks"]) == list(range(1, len(r["ranks"]) + 1))
 
 
+def _pix_grid(w, h, phase):
+    """Deterministic (r, g, b) pixel grid, varied by phase for distinct frames."""
+    return [
+        [((x * 31 + phase) % 256, (y * 53 + phase) % 256, ((x + y) * 17 + phase) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _make_avi(frames_pix, w, h):
+    """Minimal-but-genuine RIFF AVI: hdrl(avih, strl(strh 'vids'/'DIB ', strf
+    BITMAPINFOHEADER BI_RGB 24bpp)) + movi('00db' bottom-up padded BGR frames)."""
+
+    def chunk(cid, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    stride = (w * 3 + 3) & ~3
+    avih = b"\0" * 32 + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\0" * 16
+    strh = b"vids" + b"DIB " + b"\0" * 48
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\0" * 20
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(
+                b"00db",
+                b"".join(
+                    bytes(b for (r, g, bl) in row for b in (bl, g, r)).ljust(stride, b"\0")
+                    for row in reversed(pix)
+                ),
+            )
+            for pix in frames_pix
+        ),
+    )
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+
+
 def _media(spark):
     rows = [
         Row(media_id=1, url="http://m/a.png", media_type="image", payload=b"PNG" * 40),
@@ -152,20 +201,92 @@ class TestMultimodal:
         assert rows[1]["n_frames"] == 1 and rows[3]["n_frames"] > 1
         assert rows[4]["features"] is None and rows[4]["n_bytes"] == 0
 
-    def test_real_backend_video_is_explicit_stub_without_pyav(self, spark):
-        """Video decode without pyav raises at the declared plug point (with
-        pyav installed the optional branch decodes instead — skip then)."""
-        try:
-            import av  # noqa: F401
+    def test_real_backend_decodes_avi_dib_golden(self, spark):
+        """decode_backend='real' on genuine video bytes (RIFF AVI with
+        uncompressed 24-bit DIB frames — real container, no codec lib):
+        dims + frame count from the container, features = temporal mean of
+        per-frame aHash, checked against the module's own aHash on the
+        independently-decoded pixel grids."""
+        import numpy as np
 
-            pytest.skip("pyav installed: video branch is live, not a stub")
-        except ImportError:
-            pass
-        with pytest.raises(Exception) as ei:
-            decode_media(_media(spark), decode_backend="real").collect()
-        assert "NotImplementedError" in str(ei.value) or isinstance(
-            ei.value, NotImplementedError
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            _ahash_features,
         )
+
+        w = h = 16
+        f1 = _pix_grid(w, h, 0)
+        f2 = _pix_grid(w, h, 5)
+        avi = _make_avi([f1, f2], w, h)
+        rows = [Row(media_id=1, url="a.avi", media_type="video", payload=avi)]
+        out = decode_media(
+            spark.createDataFrame(rows, schema=MEDIA_SCHEMA), decode_backend="real"
+        ).collect()[0]
+        assert (out["width"], out["height"], out["n_frames"]) == (w, h, 2)
+        assert len(out["features"]) == FEATURE_DIM
+        want = []
+        for pix in (f1, f2):
+            gray = np.array(
+                [[r * 0.299 + g * 0.587 + b * 0.114 for (r, g, b) in row] for row in pix]
+            )
+            want.append(_ahash_features(gray, grid=8))
+        v = np.mean(np.array(want, dtype=np.float64), axis=0)
+        v = v / np.linalg.norm(v)
+        assert max(abs(a - b) for a, b in zip(out["features"], v)) < 1e-5
+
+    def test_real_backend_single_frame_avi_matches_bmp_features(self, spark):
+        """A one-frame AVI and a BMP of the same pixels must yield identical
+        features — the temporal pool of a single frame is that frame's aHash,
+        so the video pathway is signature-compatible with the image one."""
+        w = h = 12
+        pix = _pix_grid(w, h, 3)
+        avi = _make_avi([pix], w, h)
+        stride = (w * 3 + 3) & ~3
+        bmp_rows = b"".join(
+            bytes(b for (r, g, bl) in row for b in (bl, g, r)).ljust(stride, b"\0")
+            for row in reversed(pix)
+        )
+        bmp = (
+            b"BM" + (54 + len(bmp_rows)).to_bytes(4, "little") + b"\0\0\0\0"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(bmp_rows).to_bytes(4, "little")
+            + b"\0" * 16 + bmp_rows
+        )
+        rows = [
+            Row(media_id=1, url="a.avi", media_type="video", payload=avi),
+            Row(media_id=2, url="a.bmp", media_type="image", payload=bmp),
+        ]
+        got = {
+            r["media_id"]: r
+            for r in decode_media(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA),
+                decode_backend="real",
+            ).collect()
+        }
+        assert got[1]["n_frames"] == 1
+        assert got[1]["features"] == pytest.approx(got[2]["features"], abs=1e-6)
+
+    def test_real_backend_compressed_or_truncated_video_quarantined(self, spark):
+        """Codec-compressed video (no pyav in this container) and truncated
+        AVI payloads quarantine (null features) — never a job abort, the same
+        contract as audio/images."""
+        avi = _make_avi([_pix_grid(16, 16, 0)], 16, 16)
+        rows = [
+            Row(media_id=1, url="b.mp4", media_type="video", payload=b"MP4" * 99),
+            Row(media_id=2, url="t.avi", media_type="video", payload=avi[:100]),
+            Row(media_id=3, url="g.avi", media_type="video", payload=avi),
+        ]
+        got = {
+            r["media_id"]: r
+            for r in decode_media(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA),
+                decode_backend="real",
+            ).collect()
+        }
+        assert got[1]["features"] is None
+        assert got[2]["features"] is None
+        assert got[3]["features"] is not None  # the intact twin still decodes
 
     def test_real_backend_decodes_wav_pcm_golden(self, spark):
         """decode_backend='real' on genuine audio bytes (RIFF WAVE PCM16, no

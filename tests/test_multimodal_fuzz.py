@@ -1,0 +1,124 @@
+"""Quarantine-contract fuzzing for the dependency-free media parsers.
+
+ADVICE r3 flagged two parser crash paths (PPM frombuffer on truncated
+payloads, NaN features below the pooling grid) that violated the documented
+contract — undecodable payloads must yield None, NEVER an exception that
+aborts the Spark job (the scanner's per-file IOError discipline,
+/root/reference/scanner/fileHasher.py:406-430). This module pins that class
+of bug for every built-in parser at once: arbitrary bytes, truncations at
+every prefix length, and adversarial header-size lies must all return None
+or a well-formed value. Pure Python (no SparkSession) so the whole matrix
+runs in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intraarchivededuplicator_spark.functions.multimodal import (
+    _builtin_video,
+    _energy_features,
+    _parse_avi_dib,
+    _parse_bmp,
+    _parse_ppm,
+    _parse_wav_pcm,
+)
+from tests.test_ann_multimodal import _make_avi, _pix_grid
+
+PARSERS = [_parse_ppm, _parse_bmp, _parse_wav_pcm, _parse_avi_dib, _builtin_video]
+
+
+def _valid_payloads() -> dict[str, bytes]:
+    w = h = 16
+    pix = _pix_grid(w, h, 0)
+    ppm = b"P6\n16 16\n255\n" + bytes(
+        b for row in pix for (r, g, bl) in row for b in (r, g, bl)
+    )
+    stride = (w * 3 + 3) & ~3
+    bmp_rows = b"".join(
+        bytes(b for (r, g, bl) in row for b in (bl, g, r)).ljust(stride, b"\0")
+        for row in reversed(pix)
+    )
+    bmp = (
+        b"BM" + (54 + len(bmp_rows)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(bmp_rows).to_bytes(4, "little")
+        + b"\0" * 16 + bmp_rows
+    )
+    data = bytes((i * 7) % 256 for i in range(512))
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    avi = _make_avi([pix, _pix_grid(w, h, 9)], w, h)
+    return {"ppm": ppm, "bmp": bmp, "wav": wav, "avi": avi}
+
+
+class TestFuzzQuarantine:
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=4096))
+    def test_arbitrary_bytes_never_raise(self, raw):
+        for p in PARSERS:
+            p(raw)  # None or a value — any exception fails the test
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=1, max_size=512))
+    def test_arbitrary_bytes_with_magic_prefixes_never_raise(self, tail):
+        """Payloads that pass the magic-byte check but carry garbage bodies —
+        the adversarial region the plain-binary strategy rarely reaches."""
+        for magic in (b"P6\n", b"P5\n", b"BM", b"RIFF" + tail[:4] + b"WAVE",
+                      b"RIFF" + tail[:4] + b"AVI "):
+            for p in PARSERS:
+                p(magic + tail)
+
+    def test_every_prefix_truncation_never_raises(self):
+        """Each valid payload cut at EVERY prefix length: None or a value,
+        no exception (the exact ADVICE r3 PPM failure mode, generalized)."""
+        for name, payload in _valid_payloads().items():
+            for cut in range(len(payload)):
+                for p in PARSERS:
+                    p(payload[:cut])
+
+    def test_header_size_lies_never_raise(self):
+        """Flip every 4-byte window of the header region to 0xFFFFFFFF (the
+        'header-declared size lies' class): parsers must bound all reads by
+        the actual buffer length."""
+        for name, payload in _valid_payloads().items():
+            hdr = min(len(payload), 96)
+            for off in range(0, hdr - 4):
+                mutated = payload[:off] + b"\xff\xff\xff\xff" + payload[off + 4 :]
+                for p in PARSERS:
+                    out = p(mutated)
+                    if out is not None and name in ("ppm", "bmp") and p in (
+                        _parse_ppm, _parse_bmp
+                    ):
+                        assert np.isfinite(np.asarray(out)).all()
+
+    def test_valid_payloads_still_parse(self):
+        """The fuzz guards must not have been satisfied by rejecting
+        everything: the intact payloads decode."""
+        v = _valid_payloads()
+        assert _parse_ppm(v["ppm"]) is not None
+        assert _parse_bmp(v["bmp"]) is not None
+        assert _parse_wav_pcm(v["wav"]) is not None
+        parsed = _parse_avi_dib(v["avi"])
+        assert parsed is not None and len(parsed[0]) == 2
+        out = _builtin_video(v["avi"])
+        assert out is not None and out[2] == 2
+        assert np.isfinite(out[3]).all()
+
+    def test_energy_features_never_nan(self):
+        """Sub-grid and degenerate audio quarantines (None), never NaN —
+        the audio twin of the ADVICE r3 tiny-image NaN finding."""
+        assert _energy_features(np.zeros(3)) is None
+        silent = _energy_features(np.zeros(4096))
+        assert silent is not None and np.isfinite(silent).all()

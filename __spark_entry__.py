@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_cross_source": q.q_minhash_pairs_cross_source,
         "source_integrity": q.q_source_integrity,
         "deterministic_sample": q.q_deterministic_sample,
+        # multimodal decode (SURVEY 2.10)
+        "media_decode_dims": q.q_media_decode_dims,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_integrity": o.sql_source_integrity(),
         "deterministic_sample": o.sql_deterministic_sample(),
+        "media_decode_dims": o.sql_media_decode_dims(),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

@@ -249,3 +249,116 @@ def write_parquet(corpus: SynthCorpus, out_dir: str) -> None:
     corpus.truth.to_parquet(
         f"{out_dir}/pages_truth.parquet", index=False, row_group_size=5000
     )
+
+
+# --- deterministic media fixtures (multimodal driver gate) -------------------
+#
+# Per-doc media payloads whose decoded dimensions are pure arithmetic in
+# doc_id, so a DuckDB oracle can predict every cell of the REAL decode path
+# (plans/queries.q_media_decode_dims) without any codec: doc_id % 3 cycles
+# image (binary PPM P6) / audio (RIFF WAVE PCM8 mono) / video (RIFF AVI
+# uncompressed 24-bit DIB frames). Beyond-reference scope — the reference is
+# image-only (/root/reference/scanner/hashFile.py:95-106).
+
+def media_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) for image/video payloads — >= the 8x8 pooling grid."""
+    return 8 + doc_id % 8, 8 + doc_id % 5
+
+
+def media_n_samples(doc_id: int) -> int:
+    """PCM sample count for audio payloads — >= the 64-bin energy grid."""
+    return 64 + (doc_id % 100) * 16
+
+
+def media_n_video_frames(doc_id: int) -> int:
+    return 1 + doc_id % 4
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\0" if len(body) % 2 else b""
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _ppm_payload(doc_id: int) -> bytes:
+    w, h = media_dims(doc_id)
+    px = ((doc_id * 31 + 7 * np.arange(w * h * 3)) % 256).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    n = media_n_samples(doc_id)
+    data = ((doc_id + 3 * np.arange(n)) % 256).astype(np.uint8).tobytes()
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")  # PCM, mono
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")  # align, bits
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def _avi_payload(doc_id: int) -> bytes:
+    w, h = media_dims(doc_id)
+    nf = media_n_video_frames(doc_id)
+    stride = (w * 3 + 3) & ~3
+    avih = b"\0" * 32 + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\0" * 16
+    strh = b"vids" + b"DIB " + b"\0" * 48
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\0" * 20
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl" + _riff_chunk(b"avih", avih)
+        + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                      + _riff_chunk(b"strf", strf)),
+    )
+    frames = []
+    for f in range(nf):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = (
+            (doc_id * 31 + f * 11 + 7 * np.arange(h * w * 3)) % 256
+        ).astype(np.uint8).reshape(h, w * 3)
+        frames.append(_riff_chunk(b"00db", rows.tobytes()))
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(frames))
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+
+
+_MEDIA_BUILDERS = (_ppm_payload, _wav_payload, _avi_payload)
+MEDIA_TYPE_CYCLE = ("image", "audio", "video")
+
+
+def media_payload(doc_id: int) -> tuple[str, bytes]:
+    mt = MEDIA_TYPE_CYCLE[doc_id % 3]
+    return mt, _MEDIA_BUILDERS[doc_id % 3](doc_id)
+
+
+def synthesize_media(docs):
+    """docs(doc_id) -> MEDIA_SCHEMA frame via Arrow-batched mapInPandas.
+
+    Fixture generation, not a hot-path operator: payload construction is
+    per-row byte packing inside Arrow batches — the same batch shape the
+    decode stage itself uses, so the pair composes into one e2e pipeline."""
+    from ..functions.multimodal import MEDIA_SCHEMA
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            mts, payloads = [], []
+            for did in ids:
+                mt, raw = media_payload(int(did))
+                mts.append(mt)
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "url": ["synth://media/" + str(i) for i in ids],
+                    "media_type": mts,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)

@@ -815,3 +815,21 @@ SELECT o_orderpriority,
        count(*)::BIGINT AS n_orders,
        count(DISTINCT o_custkey)::BIGINT AS n_customers
 FROM orders GROUP BY o_orderpriority, ym"""
+
+
+def sql_media_decode_dims() -> str:
+    """Arithmetic twin of q_media_decode_dims: the synthesized payloads'
+    decoded dims are pure functions of doc_id (fixtures/synth.media_dims and
+    friends), so the oracle predicts every cell of the REAL decode path —
+    PPM / WAV PCM / AVI DIB parsers, mapInPandas plumbing and all — with no
+    codec on the DuckDB side."""
+    return """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS media_type,
+       (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 8 END)::INT AS width,
+       (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 5 END)::INT AS height,
+       (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + (doc_id % 100) * 16
+           ELSE 1 + doc_id % 4 END)::INT AS n_frames,
+       TRUE AS ok
+FROM documents"""

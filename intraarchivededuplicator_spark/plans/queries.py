@@ -822,3 +822,32 @@ def q_nation_revenue(spark, sf_dir):
             F.round(F.sum("_rev") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+# --- multimodal decode (beyond-reference; SURVEY 2.10) -----------------------
+
+def q_media_decode_dims(spark, sf_dir):
+    """REAL multimodal decode under the driver's hash gate.
+
+    Payloads are synthesized deterministically per doc_id inside Spark
+    (fixtures/synth.synthesize_media: PPM image / WAV PCM audio / AVI DIB
+    video, cycling by doc_id % 3), decoded by decode_media(real) — the
+    actual dependency-free parsers through the actual mapInPandas plumbing —
+    and the projected dims / frame counts are pure arithmetic in doc_id, so
+    the DuckDB oracle (sql_media_decode_dims) predicts every cell. `ok`
+    asserts the feature vector materialized (all synthesized payloads are
+    at/above the pooling grids, so a false would mean a quarantine
+    regression)."""
+    from ..fixtures.synth import synthesize_media
+    from ..functions.multimodal import decode_media
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_media(synthesize_media(d), decode_backend="real")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.col("features").isNotNull().alias("ok"),
+    )

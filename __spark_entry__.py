@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q.q_deterministic_sample,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
+        "media_near_dup_pairs": q.q_media_near_dup_pairs,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "source_integrity": o.sql_source_integrity(),
         "deterministic_sample": o.sql_deterministic_sample(),
         "media_decode_dims": o.sql_media_decode_dims(),
+        "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

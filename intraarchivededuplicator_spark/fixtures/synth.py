@@ -279,15 +279,36 @@ def _riff_chunk(cid: bytes, body: bytes) -> bytes:
     return cid + len(body).to_bytes(4, "little") + body + pad
 
 
+def _media_grid(seed: int, tag: bytes) -> np.ndarray:
+    """64 deterministic bytes per (seed, tag) — the content kernel for all
+    media builders. Blocky-by-construction so mean-pooling feature kernels
+    (aHash, RMS envelope) recover seed-rich values: distinct seeds give
+    far-apart features, equal seeds bit-identical ones. A smooth pattern
+    (e.g. a mod-256 sawtooth) would pool to near-uniform means whose signs
+    are numerically fragile — unusable for exact-match feature oracles."""
+    import hashlib
+
+    d = hashlib.blake2b(str(seed).encode(), digest_size=64, person=tag).digest()
+    return np.frombuffer(d, dtype=np.uint8)
+
+
 def _ppm_payload(doc_id: int) -> bytes:
     w, h = media_dims(doc_id)
-    px = ((doc_id * 31 + 7 * np.arange(w * h * 3)) % 256).astype(np.uint8)
+    grid = _media_grid(doc_id, b"img").reshape(8, 8)
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    gray = grid[np.ix_(ys, xs)]  # nearest-neighbor upscale of the 8x8 grid
+    px = np.repeat(gray.reshape(h, w, 1), 3, axis=2).astype(np.uint8)
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
 def _wav_payload(doc_id: int) -> bytes:
     n = media_n_samples(doc_id)
-    data = ((doc_id + 3 * np.arange(n)) % 256).astype(np.uint8).tobytes()
+    # alternating-sign samples whose amplitude envelope encodes the seed
+    # grid: bin RMS ~ amplitude, so the 64-bin energy features are seed-rich
+    amp = _media_grid(doc_id, b"aud")[(64 * np.arange(n)) // n] // 2 + 24
+    sign = np.where(np.arange(n) % 2 == 0, 1, -1)
+    data = (128 + sign * amp).astype(np.uint8).tobytes()
     return (
         b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little")
@@ -316,11 +337,15 @@ def _avi_payload(doc_id: int) -> bytes:
                       + _riff_chunk(b"strf", strf)),
     )
     frames = []
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
     for f in range(nf):
+        grid = _media_grid(doc_id * 16 + f, b"vid").reshape(8, 8)
+        gray = grid[np.ix_(ys, xs)]
         rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = (
-            (doc_id * 31 + f * 11 + 7 * np.arange(h * w * 3)) % 256
-        ).astype(np.uint8).reshape(h, w * 3)
+        rows[:, : w * 3] = np.repeat(gray.reshape(h, w, 1), 3, axis=2).reshape(
+            h, w * 3
+        )
         frames.append(_riff_chunk(b"00db", rows.tobytes()))
     movi = _riff_chunk(b"LIST", b"movi" + b"".join(frames))
     inner = b"AVI " + hdrl + movi
@@ -331,12 +356,21 @@ _MEDIA_BUILDERS = (_ppm_payload, _wav_payload, _avi_payload)
 MEDIA_TYPE_CYCLE = ("image", "audio", "video")
 
 
-def media_payload(doc_id: int) -> tuple[str, bytes]:
+def media_payload(doc_id: int, dup_stride: int | None = None) -> tuple[str, bytes]:
+    """dup_stride plants exact duplicates: rows with doc_id % 10 == 7 (and
+    doc_id >= dup_stride) reuse the payload of doc_id - dup_stride. The
+    stride must be a multiple of 3 so the partner shares the media type —
+    the planted pair set is then pure arithmetic, so an exact-match
+    near-dup query over the decoded features is DuckDB-oracle-able."""
     mt = MEDIA_TYPE_CYCLE[doc_id % 3]
-    return mt, _MEDIA_BUILDERS[doc_id % 3](doc_id)
+    seed = doc_id
+    if dup_stride is not None and doc_id % 10 == 7 and doc_id >= dup_stride:
+        assert dup_stride % 3 == 0, "dup partner must share the media type"
+        seed = doc_id - dup_stride
+    return mt, _MEDIA_BUILDERS[doc_id % 3](seed)
 
 
-def synthesize_media(docs):
+def synthesize_media(docs, dup_stride: int | None = None):
     """docs(doc_id) -> MEDIA_SCHEMA frame via Arrow-batched mapInPandas.
 
     Fixture generation, not a hot-path operator: payload construction is
@@ -349,7 +383,7 @@ def synthesize_media(docs):
             ids = pdf["doc_id"].astype("int64")
             mts, payloads = [], []
             for did in ids:
-                mt, raw = media_payload(int(did))
+                mt, raw = media_payload(int(did), dup_stride)
                 mts.append(mt)
                 payloads.append(raw)
             yield pd.DataFrame(

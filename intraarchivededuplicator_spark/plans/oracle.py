@@ -833,3 +833,13 @@ SELECT doc_id,
            ELSE 1 + doc_id % 4 END)::INT AS n_frames,
        TRUE AS ok
 FROM documents"""
+
+
+def sql_media_near_dup_pairs(dup_stride: int = 3) -> str:
+    """Arithmetic twin of q_media_near_dup_pairs: the planted-duplicate pair
+    set. Exactness argument in the query docstring (>=10-bit non-planted
+    margin vs radius 4)."""
+    return f"""
+SELECT (doc_id - {dup_stride})::BIGINT AS id_lo, doc_id::BIGINT AS id_hi
+FROM documents
+WHERE doc_id % 10 = 7 AND doc_id >= {dup_stride}"""

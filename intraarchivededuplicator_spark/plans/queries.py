@@ -851,3 +851,20 @@ def q_media_decode_dims(spark, sf_dir):
         "n_frames",
         F.col("features").isNotNull().alias("ok"),
     )
+
+
+def q_media_near_dup_pairs(spark, sf_dir):
+    """Media near-dup e2e under the hash gate: synthesize -> decode(real) ->
+    aHash/energy features -> hyperplane LSH banded join (media_near_dup_pairs).
+
+    dup_stride=3 plants exact duplicates (doc_id % 10 == 7 reuses the
+    payload of doc_id - 3, same media type), so the verified pair set at
+    radius 4 is pure arithmetic: measured non-planted same-type signature
+    distance is >= 10 bits (seed-rich blocky content, fixtures/synth
+    _media_grid), leaving a >2x margin to the radius."""
+    from ..fixtures.synth import synthesize_media
+    from ..functions.multimodal import decode_media, media_near_dup_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_media(synthesize_media(d, dup_stride=3), decode_backend="real")
+    return media_near_dup_pairs(dec, hamming_radius=4).select("id_lo", "id_hi")

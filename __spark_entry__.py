@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
+        "media_resized_dims": q.q_media_resized_dims,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": o.sql_deterministic_sample(),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
+        "media_resized_dims": o.sql_media_resized_dims(),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

@@ -274,11 +274,6 @@ def media_n_video_frames(doc_id: int) -> int:
     return 1 + doc_id % 4
 
 
-def _riff_chunk(cid: bytes, body: bytes) -> bytes:
-    pad = b"\0" if len(body) % 2 else b""
-    return cid + len(body).to_bytes(4, "little") + body + pad
-
-
 def _media_grid(seed: int, tag: bytes) -> np.ndarray:
     """64 deterministic bytes per (seed, tag) — the content kernel for all
     media builders. Blocky-by-construction so mean-pooling feature kernels
@@ -320,36 +315,18 @@ def _wav_payload(doc_id: int) -> bytes:
 
 
 def _avi_payload(doc_id: int) -> bytes:
+    from ..functions.multimodal import _encode_avi_dib
+
     w, h = media_dims(doc_id)
     nf = media_n_video_frames(doc_id)
-    stride = (w * 3 + 3) & ~3
-    avih = b"\0" * 32 + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\0" * 16
-    strh = b"vids" + b"DIB " + b"\0" * 48
-    strf = (
-        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little") + b"\0" * 20
-    )
-    hdrl = _riff_chunk(
-        b"LIST",
-        b"hdrl" + _riff_chunk(b"avih", avih)
-        + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
-                      + _riff_chunk(b"strf", strf)),
-    )
-    frames = []
     ys = (np.arange(h) * 8) // h
     xs = (np.arange(w) * 8) // w
-    for f in range(nf):
-        grid = _media_grid(doc_id * 16 + f, b"vid").reshape(8, 8)
-        gray = grid[np.ix_(ys, xs)]
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = np.repeat(gray.reshape(h, w, 1), 3, axis=2).reshape(
-            h, w * 3
-        )
-        frames.append(_riff_chunk(b"00db", rows.tobytes()))
-    movi = _riff_chunk(b"LIST", b"movi" + b"".join(frames))
-    inner = b"AVI " + hdrl + movi
-    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+    frames = [
+        _media_grid(doc_id * 16 + f, b"vid").reshape(8, 8)[np.ix_(ys, xs)]
+        .astype(np.float64)
+        for f in range(nf)
+    ]
+    return _encode_avi_dib(frames)
 
 
 _MEDIA_BUILDERS = (_ppm_payload, _wav_payload, _avi_payload)

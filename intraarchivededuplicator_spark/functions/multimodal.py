@@ -360,6 +360,71 @@ def _try_pyav_video(raw: bytes) -> tuple[int, int, int, list[float]] | None:
         return None
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\0" if len(body) % 2 else b""
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _encode_pgm(gray: np.ndarray) -> bytes:
+    """Luma array -> binary PGM (P5) — the grayscale twin of _parse_ppm."""
+    h, w = gray.shape
+    px = np.clip(np.round(gray), 0, 255).astype(np.uint8)
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _encode_wav_pcm16(mono: np.ndarray, rate: int) -> bytes:
+    """[-1, 1] mono samples -> RIFF WAVE PCM16 — inverse of _parse_wav_pcm."""
+    x = np.clip(np.round(mono * 32767.0), -32768, 32767).astype("<i2")
+    data = x.tobytes()
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def _encode_avi_dib(frames_gray: list[np.ndarray]) -> bytes:
+    """Luma frames -> RIFF AVI with uncompressed 24-bit DIB frames (luma
+    replicated to BGR) — inverse of _parse_avi_dib."""
+    h, w = frames_gray[0].shape
+    stride = (w * 3 + 3) & ~3
+    avih = b"\0" * 32 + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\0" * 16
+    strh = b"vids" + b"DIB " + b"\0" * 48
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\0" * 20
+    )
+    hdrl = _riff_chunk(
+        b"LIST",
+        b"hdrl" + _riff_chunk(b"avih", avih)
+        + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                      + _riff_chunk(b"strf", strf)),
+    )
+    chunks = []
+    for g in frames_gray:
+        px = np.clip(np.round(g), 0, 255).astype(np.uint8)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = np.repeat(px[::-1].reshape(h, w, 1), 3, axis=2).reshape(
+            h, w * 3
+        )  # bottom-up DIB row order
+        chunks.append(_riff_chunk(b"00db", rows.tobytes()))
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(chunks))
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+
+
+def _resize_gray(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample — deterministic, dependency-free."""
+    h, w = gray.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return gray[np.ix_(ys, xs)]
+
+
 def _ahash_features(gray: np.ndarray, grid: int = 8) -> list[float]:
     """aHash-style features: mean-pool to grid x grid, center, unit-normalize —
     the pHash kernel shape (/root/reference/scanner/hashFile.py:95-106) kept
@@ -483,6 +548,61 @@ def decode_media(media: DataFrame, decode_backend: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 64, out_h: int = 64, out_rate: int = 8000
+) -> DataFrame:
+    """MEDIA_SCHEMA -> MEDIA_SCHEMA with payloads re-encoded at the target
+    geometry: image/video luma-space nearest-neighbor resize (re-encoded as
+    PGM / AVI-DIB), audio nearest-sample resample to out_rate (re-encoded as
+    WAV PCM16). The output is again a media frame, so stages compose —
+    synthesize -> resize -> decode -> features runs as one pipeline with no
+    schema adapters (the normalize-before-feature step of a media dedup
+    pipeline). Per-row quarantine: an unparseable payload yields a null
+    payload (decode_media then yields null features), never a job abort.
+    Codec-compressed inputs quarantine here too — a pyav-backed branch
+    would plug in beside the built-in parsers, same contract."""
+
+    def _resize_one(mt: str, raw) -> bytes | None:
+        if raw is None:
+            return None
+        raw = bytes(raw)
+        if mt == "image":
+            gray = _parse_ppm(raw)
+            if gray is None:
+                gray = _parse_bmp(raw)
+            if gray is None:
+                gray = _try_pil_decode(raw)
+            if gray is None or gray.size == 0:
+                return None
+            return _encode_pgm(_resize_gray(gray, out_w, out_h))
+        if mt == "audio":
+            parsed = _parse_wav_pcm(raw)
+            if parsed is None:
+                return None
+            mono, rate = parsed
+            n_out = max(1, round(len(mono) * out_rate / rate))
+            idx = (np.arange(n_out) * len(mono)) // n_out
+            return _encode_wav_pcm16(mono[idx], out_rate)
+        if mt == "video":
+            parsed = _parse_avi_dib(raw)
+            if parsed is None:
+                return None
+            frames, _, _ = parsed
+            return _encode_avi_dib([_resize_gray(g, out_w, out_h) for g in frames])
+        raise NotImplementedError(f"unknown media_type {mt!r}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_one(mt, raw)
+                for mt, raw in zip(pdf["media_type"], pdf["payload"])
+            ]
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 30, max_frames: int = 16) -> DataFrame:

@@ -843,3 +843,23 @@ def sql_media_near_dup_pairs(dup_stride: int = 3) -> str:
 SELECT (doc_id - {dup_stride})::BIGINT AS id_lo, doc_id::BIGINT AS id_hi
 FROM documents
 WHERE doc_id % 10 = 7 AND doc_id >= {dup_stride}"""
+
+
+def sql_media_resized_dims() -> str:
+    """Arithmetic twin of q_media_resized_dims (resize to 10x9 / 4000 Hz).
+    Audio: n = 64 + (doc_id % 100) * 16 at 8000 Hz resamples to n/2; below
+    the 64-bin energy grid (doc_id % 100 < 4) the decode quarantines —
+    features null, n_frames at the schema default 1."""
+    return """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS media_type,
+       (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 10 END)::INT AS width,
+       (CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 9 END)::INT AS height,
+       (CASE doc_id % 3
+            WHEN 0 THEN 1
+            WHEN 1 THEN CASE WHEN doc_id % 100 >= 4
+                             THEN 32 + (doc_id % 100) * 8 ELSE 1 END
+            ELSE 1 + doc_id % 4 END)::INT AS n_frames,
+       CASE WHEN doc_id % 3 = 1 THEN doc_id % 100 >= 4 ELSE TRUE END AS ok
+FROM documents"""

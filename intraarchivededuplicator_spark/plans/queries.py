@@ -868,3 +868,28 @@ def q_media_near_dup_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
     dec = decode_media(synthesize_media(d, dup_stride=3), decode_backend="real")
     return media_near_dup_pairs(dec, hamming_radius=4).select("id_lo", "id_hi")
+
+
+def q_media_resized_dims(spark, sf_dir):
+    """Resize stage under the hash gate: synthesize -> resize_media(10x9 /
+    4000 Hz) -> decode(real). Composability is the point — resize outputs a
+    MEDIA_SCHEMA frame, so the decode stage runs unchanged on it. Oracle
+    arithmetic: image/video decode at exactly 10x9 with frame counts
+    preserved; audio resamples n -> n/2 (8000 -> 4000 Hz, n even), and rows
+    whose resampled length falls below the 64-bin energy grid quarantine
+    (features null, n_frames left at the schema default 1) — the oracle
+    predicts the quarantine branch too."""
+    from ..fixtures.synth import synthesize_media
+    from ..functions.multimodal import decode_media, resize_media
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    rs = resize_media(synthesize_media(d), out_w=10, out_h=9, out_rate=4000)
+    dec = decode_media(rs, decode_backend="real")
+    return dec.select(
+        F.col("media_id").alias("doc_id"),
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.col("features").isNotNull().alias("ok"),
+    )

@@ -122,3 +122,58 @@ class TestFuzzQuarantine:
         assert _energy_features(np.zeros(3)) is None
         silent = _energy_features(np.zeros(4096))
         assert silent is not None and np.isfinite(silent).all()
+
+
+class TestEncoderRoundtrip:
+    """The resize stage's encoders must be exact inverses of the parsers —
+    a resize->decode pipeline otherwise drifts per hop."""
+
+    def test_pgm_roundtrip_exact(self):
+        from intraarchivededuplicator_spark.functions.multimodal import _encode_pgm
+
+        rng = np.random.default_rng(11)
+        g = rng.uniform(0, 255, (9, 13))
+        back = _parse_ppm(_encode_pgm(g))
+        assert back is not None and back.shape == (9, 13)
+        assert np.array_equal(back, np.round(g))
+
+    def test_wav_pcm16_roundtrip_close(self):
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            _encode_wav_pcm16,
+        )
+
+        rng = np.random.default_rng(12)
+        mono = rng.uniform(-1, 1, 500)
+        parsed = _parse_wav_pcm(_encode_wav_pcm16(mono, 4000))
+        assert parsed is not None
+        back, rate = parsed
+        assert rate == 4000 and len(back) == 500
+        # encode scales by 32767, decode divides by 32768: half-LSB rounding
+        # plus the scale mismatch bounds the error at ~1.5 LSB
+        assert np.abs(back - mono).max() < 2.0 / 32768
+
+    def test_avi_dib_roundtrip_exact(self):
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            _encode_avi_dib,
+        )
+
+        rng = np.random.default_rng(13)
+        frames = [rng.uniform(0, 255, (11, 7)) for _ in range(3)]
+        parsed = _parse_avi_dib(_encode_avi_dib(frames))
+        assert parsed is not None
+        back, w, h = parsed
+        assert (w, h, len(back)) == (7, 11, 3)
+        for orig, got in zip(frames, back):
+            # luma of gray replicated to BGR is the gray value exactly
+            assert np.allclose(got, np.round(orig))
+
+    def test_resize_gray_nearest_semantics(self):
+        from intraarchivededuplicator_spark.functions.multimodal import _resize_gray
+
+        g = np.arange(16, dtype=np.float64).reshape(4, 4)
+        up = _resize_gray(g, 8, 8)
+        assert up.shape == (8, 8)
+        # each source pixel becomes a 2x2 block (nearest-neighbor upscale)
+        assert np.array_equal(up[::2, ::2], g) and np.array_equal(up[1::2, 1::2], g)
+        down = _resize_gray(g, 2, 2)
+        assert np.array_equal(down, g[np.ix_([0, 2], [0, 2])])

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from .banded_join import banded_self_join
 
@@ -138,6 +139,11 @@ def ann_topk(
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
     )
+    # cand feeds THREE subtrees (both directions + the two vector
+    # prefilters); without a persist the band join + Hamming verify re-run
+    # per consumer — exchange reuse dedupes the shuffle but not the join.
+    # The pair set is id-only and hot_threshold-capped, so MEMORY_AND_DISK
+    # is small and spill-safe at scale.
     cand = banded_self_join(
         sigged,
         "_aid",
@@ -146,7 +152,7 @@ def ann_topk(
         n_bands=n_bands,
         hot_threshold=hot_threshold,
         require_full_recall=False,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     both = cand.select(
         F.col("id_lo").alias("qid"), F.col("id_hi").alias("nid")
     ).unionByName(
@@ -205,6 +211,7 @@ def ann_near_pairs(
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
     )
+    # three consumers, same rationale as ann_topk's persist
     cand = banded_self_join(
         sigged,
         "_aid",
@@ -213,7 +220,7 @@ def ann_near_pairs(
         n_bands=n_bands,
         hot_threshold=hot_threshold,
         require_full_recall=False,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = _prefilter_vecs(
         sigged.select(F.col("_aid").alias("id_lo"), F.col("_vec").alias("_va")), cand, "id_lo"
     )

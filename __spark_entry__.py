@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
         "media_resized_dims": q.q_media_resized_dims,
+        "media_frame_sample": q.q_media_frame_sample,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_resized_dims": o.sql_media_resized_dims(),
+        "media_frame_sample": o.sql_media_frame_sample(2),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

@@ -863,3 +863,13 @@ SELECT doc_id,
             ELSE 1 + doc_id % 4 END)::INT AS n_frames,
        CASE WHEN doc_id % 3 = 1 THEN doc_id % 100 >= 4 ELSE TRUE END AS ok
 FROM documents"""
+
+
+def sql_media_frame_sample(every_n: int = 2) -> str:
+    """Arithmetic twin of q_media_frame_sample: video rows (doc_id % 3 = 2)
+    have n_frames = 1 + doc_id % 4; sampled indices are the stride-every_n
+    series below n_frames."""
+    return f"""
+SELECT doc_id, unnest(range(0, 1 + doc_id % 4, {every_n}))::INT AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2"""

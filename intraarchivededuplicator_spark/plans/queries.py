@@ -893,3 +893,19 @@ def q_media_resized_dims(spark, sf_dir):
         "n_frames",
         F.col("features").isNotNull().alias("ok"),
     )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """frame_sample under the hash gate — completes driver coverage of the
+    multimodal op set (decode / feature / resize / frame-sample). Video rows
+    carry n_frames = 1 + doc_id % 4 (fixtures/synth arithmetic), so the
+    exploded (media_id, frame_idx) set with stride 2 is generate_series in
+    the oracle."""
+    from ..fixtures.synth import synthesize_media
+    from ..functions.multimodal import decode_media, frame_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_media(synthesize_media(d), decode_backend="real")
+    return frame_sample(dec, every_n=2, max_frames=16).select(
+        F.col("media_id").alias("doc_id"), F.col("frame_idx").cast("int").alias("frame_idx")
+    )

@@ -122,3 +122,18 @@ def crawl_rate(pages: DataFrame, window: str = "1 hour", watermark: str = "2 hou
             "n_pages",
         )
     )
+
+
+def stream_media(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming scan over a media landing zone (MEDIA_SCHEMA parquet drops).
+
+    decode_media / resize_media are stateless Arrow-batched mapInPandas
+    stages, so they apply to this stream unchanged — the streaming twin of
+    the batch multimodal pipeline is literally the same operator chain, and
+    Structured Streaming's file-source tracking gives exactly-once per
+    landed file. At 100 TB scale this is the shape of a continuous media
+    ingest: land payload files, decode incrementally, never re-decode what a
+    previous trigger already processed."""
+    from ..functions.multimodal import MEDIA_SCHEMA
+
+    return spark.readStream.schema(MEDIA_SCHEMA).parquet(landing_dir)

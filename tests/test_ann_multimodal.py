@@ -522,3 +522,68 @@ class TestMultimodal:
         dec = decode_media(_media(spark))
         pairs = media_near_dup_pairs(dec, hamming_radius=4).collect()
         assert {(p["id_lo"], p["id_hi"]) for p in pairs} == {(1, 2)}
+
+
+class TestStreamingMediaDecode:
+    """decode_media is a stateless mapInPandas stage, so the batch operator
+    chain runs unchanged on a Structured Streaming file source — and the
+    file-source log gives exactly-once per landed file across restarts."""
+
+    def test_stream_decode_matches_batch_and_is_incremental(self, spark, tmp_path):
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            decode_media,
+        )
+        from intraarchivededuplicator_spark.streaming.ingest_stream import (
+            stream_media,
+        )
+
+        landing = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "decoded")
+        avi = _make_avi([_pix_grid(16, 16, 0)], 16, 16)
+        batch1 = [
+            Row(media_id=1, url="a.avi", media_type="video", payload=avi),
+            Row(media_id=2, url="x.mp4", media_type="video", payload=b"MP4" * 9),
+        ]
+        spark.createDataFrame(batch1, schema=MEDIA_SCHEMA).write.mode(
+            "append"
+        ).parquet(landing)
+
+        def run_stream():
+            q = (
+                decode_media(stream_media(spark, landing), decode_backend="real")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream()
+        got1 = {
+            r["media_id"]: r for r in spark.read.parquet(out_dir).collect()
+        }
+        assert set(got1) == {1, 2}
+        # stream output equals the batch operator on the same rows
+        want = {
+            r["media_id"]: r
+            for r in decode_media(
+                spark.createDataFrame(batch1, schema=MEDIA_SCHEMA),
+                decode_backend="real",
+            ).collect()
+        }
+        assert got1[1]["features"] == want[1]["features"]
+        assert got1[2]["features"] is None  # quarantine flows through the stream
+
+        # land a second file; restart from the checkpoint: only the new row
+        # is decoded (file-source exactly-once), previous rows not re-emitted
+        batch2 = [Row(media_id=3, url="b.avi", media_type="video", payload=avi)]
+        spark.createDataFrame(batch2, schema=MEDIA_SCHEMA).write.mode(
+            "append"
+        ).parquet(landing)
+        run_stream()
+        ids = sorted(r["media_id"] for r in spark.read.parquet(out_dir).collect())
+        assert ids == [1, 2, 3], ids

@@ -177,3 +177,51 @@ class TestEncoderRoundtrip:
         assert np.array_equal(up[::2, ::2], g) and np.array_equal(up[1::2, 1::2], g)
         down = _resize_gray(g, 2, 2)
         assert np.array_equal(down, g[np.ix_([0, 2], [0, 2])])
+
+
+class TestPlantedDupMargin:
+    def test_signature_margin_supports_radius4_oracle(self):
+        """q_media_near_dup_pairs' DuckDB oracle is exact only while planted
+        pairs are signature-identical AND every non-planted same-type pair
+        sits well above the radius-4 LSH join. Pin both properties over the
+        first 150 doc_ids (covers all type/dim/length combinations) so a
+        content-kernel change that flattens features fails here, not in the
+        driver gate."""
+        from intraarchivededuplicator_spark.fixtures.synth import media_payload
+        from intraarchivededuplicator_spark.functions import multimodal as mm
+        from intraarchivededuplicator_spark.operators.ann import (
+            INT_SCALE,
+            hyperplanes_int,
+        )
+
+        def decode_one(mt, raw):
+            if mt == "image":
+                return mm._ahash_features(mm._parse_ppm(raw), grid=8)
+            if mt == "audio":
+                return mm._energy_features(mm._parse_wav_pcm(raw)[0])
+            return mm._builtin_video(raw)[3]
+
+        planes = hyperplanes_int(64, 64, 42)
+
+        def sig(v):
+            x = np.asarray(v, dtype=np.float64) * INT_SCALE
+            xi = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+            return ((planes @ xi) >= 0).astype(np.uint8)
+
+        n = 150
+        sigs = []
+        for d in range(n):
+            mt, raw = media_payload(d, dup_stride=3)
+            f = decode_one(mt, raw)
+            assert f is not None, (d, mt)
+            sigs.append(sig(f))
+        planted = {(d - 3, d) for d in range(n) if d % 10 == 7 and d >= 3}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if i % 3 != j % 3:
+                    continue
+                ham = int((sigs[i] != sigs[j]).sum())
+                if (i, j) in planted:
+                    assert ham == 0, f"planted pair {(i, j)} not identical"
+                else:
+                    assert ham >= 8, f"margin eroded: pair {(i, j)} at {ham} bits"

@@ -873,3 +873,23 @@ def sql_media_frame_sample(every_n: int = 2) -> str:
 SELECT doc_id, unnest(range(0, 1 + doc_id % 4, {every_n}))::INT AS frame_idx
 FROM documents
 WHERE doc_id % 3 = 2"""
+
+
+def sql_catalog_merge_roundtrip() -> str:
+    """Set-algebra twin of q_catalog_merge_roundtrip: apply the same update /
+    insert / delete arithmetic to documents directly — the catalog's
+    append + bucketed merge + delete must land on exactly this state."""
+    return """
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+), ins AS (
+    SELECT doc_id + 100000 AS doc_id, 'new' AS lang,
+           (doc_id % 997)::BIGINT AS n_chars
+    FROM documents WHERE doc_id % 50 = 0
+), merged AS (
+    SELECT * FROM base UNION ALL SELECT * FROM ins
+)
+SELECT doc_id, lang, n_chars FROM merged WHERE doc_id % 13 != 3"""

@@ -909,3 +909,35 @@ def q_media_frame_sample(spark, sf_dir):
     return frame_sample(dec, every_n=2, max_frames=16).select(
         F.col("media_id").alias("doc_id"), F.col("frame_idx").cast("int").alias("frame_idx")
     )
+
+
+# --- catalog mutation roundtrip (S6-S9, C5) ----------------------------------
+
+def q_catalog_merge_roundtrip(spark, sf_dir):
+    """Catalog sink/upsert/delete under the hash gate. A fresh bucketed
+    ParquetCatalog in a temp dir is seeded from documents (append, S6), a
+    deterministic delta is merged (S7/S8: lang flips to 'xx' where
+    doc_id % 7 == 0, and doc_id + 100000 rows insert where doc_id % 50 == 0),
+    then doc_id % 13 == 3 rows are deleted (S9). The returned snapshot read
+    (C5) must equal the oracle's set-algebra reconstruction of the same
+    mutations. The temp dir is left in place — the returned DataFrame reads
+    it lazily and the driver collects after this function returns."""
+    import tempfile
+
+    from ..sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="cat_rt_"))
+    cat.set_bucket_spec("docs", ["doc_id"], 8)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    cat.append(base, "docs")
+    updates = base.filter(F.col("doc_id") % 7 == 0).withColumn("lang", F.lit("xx"))
+    inserts = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("new").alias("lang"),
+        (F.col("doc_id") % 997).cast("long").alias("n_chars"),
+    )
+    cat.merge(updates.unionByName(inserts), "docs", ["doc_id"])
+    cat.delete_where("docs", F.col("doc_id") % 13 == 3)
+    return cat.read("docs").select("doc_id", "lang", "n_chars")

@@ -893,3 +893,12 @@ WITH base AS (
     SELECT * FROM base UNION ALL SELECT * FROM ins
 )
 SELECT doc_id, lang, n_chars FROM merged WHERE doc_id % 13 != 3"""
+
+
+def sql_html_extract_roundtrip() -> str:
+    """Arithmetic twin of q_html_extract_roundtrip: the render->extract
+    roundtrip is byte-exact by the fixture invariant, so extracted length is
+    length(text) and every row's flag is TRUE."""
+    return """
+SELECT doc_id, length(text)::BIGINT AS n_chars_extracted, TRUE AS roundtrip_ok
+FROM documents"""

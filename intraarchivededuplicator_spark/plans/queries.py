@@ -941,3 +941,33 @@ def q_catalog_merge_roundtrip(spark, sf_dir):
     cat.merge(updates.unionByName(inserts), "docs", ["doc_id"])
     cat.delete_where("docs", F.col("doc_id") % 13 == 3)
     return cat.read("docs").select("doc_id", "lang", "n_chars")
+
+
+def q_html_extract_roundtrip(spark, sf_dir):
+    """S2/S3 extraction under the hash gate: render each document's text
+    into HTML boilerplate (fixtures/synth.render_html, template cycled by
+    doc_id) inside an Arrow batch, then run the REAL extraction UDF
+    (functions/textprep.extract_text_udf). The fixture invariant
+    extract(render(text)) == text makes the oracle arithmetic: extracted
+    length equals length(text) and the roundtrip is byte-exact."""
+    from ..fixtures.synth import render_html
+    from ..functions.textprep import extract_text_udf
+
+    def _render(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                render_html(t, int(i)) for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rendered = d.mapInPandas(
+        _render, schema="doc_id long, text string, html binary"
+    )
+    extracted = rendered.withColumn("out", extract_text_udf(F.col("html")))
+    return extracted.select(
+        "doc_id",
+        F.length("out").cast("long").alias("n_chars_extracted"),
+        (F.col("out") == F.col("text")).alias("roundtrip_ok"),
+    )

@@ -86,8 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q.q_media_frame_sample,
         # catalog mutation roundtrip (S6-S9, C5)
         "catalog_merge_roundtrip": q.q_catalog_merge_roundtrip,
-        # extraction roundtrip (S2/S3)
+        # extraction roundtrip (S2/S3) + mime fixup (H7)
         "html_extract_roundtrip": q.q_html_extract_roundtrip,
+        "mime_fixup": q.q_mime_fixup,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": o.sql_media_frame_sample(2),
         "catalog_merge_roundtrip": o.sql_catalog_merge_roundtrip(),
         "html_extract_roundtrip": o.sql_html_extract_roundtrip(),
+        "mime_fixup": o.sql_mime_fixup(q.MIME_VARIANTS),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

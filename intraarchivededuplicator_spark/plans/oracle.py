@@ -902,3 +902,25 @@ def sql_html_extract_roundtrip() -> str:
     return """
 SELECT doc_id, length(text)::BIGINT AS n_chars_extracted, TRUE AS roundtrip_ok
 FROM documents"""
+
+
+def sql_mime_fixup(variants: list[str]) -> str:
+    """SQL twin of functions/junk.fix_mime over the same doc_id-cycled
+    variant list: strip parameters, trim, lowercase, unify aliases."""
+    arr = ", ".join("'" + v.replace("'", "''") + "'" for v in variants)
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           ([{arr}])[(doc_id % {len(variants)})::INT + 1] AS raw_mime
+    FROM documents
+), norm AS (
+    SELECT doc_id, raw_mime,
+           lower(trim(regexp_replace(raw_mime, ';.*$', ''))) AS m
+    FROM raw
+)
+SELECT doc_id, raw_mime,
+       CASE m WHEN 'application/xhtml+xml' THEN 'text/html'
+              WHEN 'text/xhtml' THEN 'text/html'
+              WHEN 'application/cdfv2-corrupt' THEN 'application/cdfv2'
+              ELSE m END AS mime
+FROM norm"""

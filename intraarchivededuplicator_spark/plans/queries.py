@@ -971,3 +971,28 @@ def q_html_extract_roundtrip(spark, sf_dir):
         F.length("out").cast("long").alias("n_chars_extracted"),
         (F.col("out") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+MIME_VARIANTS = [
+    "text/html",
+    "Application/XHTML+XML; charset=utf-8",
+    "text/xhtml",
+    "IMAGE/JPEG; q=0.9",
+    "application/CDFV2-corrupt",
+    " text/plain ",
+    "application/pdf;x=y;z=w",
+]
+
+
+def q_mime_fixup(spark, sf_dir):
+    """H7 mime fixup under the hash gate: messy content-type strings (case,
+    parameters, aliases — cycled by doc_id) through functions/junk.fix_mime;
+    the oracle applies the identical normalization in SQL."""
+    from ..functions.junk import fix_mime
+
+    variants = F.array(*[F.lit(v) for v in MIME_VARIANTS])
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(variants, (F.col("doc_id") % len(MIME_VARIANTS) + 1).cast("int")).alias("raw_mime"),
+    )
+    return d.select("doc_id", "raw_mime", fix_mime("raw_mime").alias("mime"))

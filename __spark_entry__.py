@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction roundtrip (S2/S3) + mime fixup (H7)
         "html_extract_roundtrip": q.q_html_extract_roundtrip,
         "mime_fixup": q.q_mime_fixup,
+        # incremental ingest roundtrip (S4/S5)
+        "incremental_ingest_roundtrip": q.q_incremental_ingest_roundtrip,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "catalog_merge_roundtrip": o.sql_catalog_merge_roundtrip(),
         "html_extract_roundtrip": o.sql_html_extract_roundtrip(),
         "mime_fixup": o.sql_mime_fixup(q.MIME_VARIANTS),
+        "incremental_ingest_roundtrip": o.sql_incremental_ingest_roundtrip(),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

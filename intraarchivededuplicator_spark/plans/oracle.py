@@ -924,3 +924,19 @@ SELECT doc_id, raw_mime,
               WHEN 'application/cdfv2-corrupt' THEN 'application/cdfv2'
               ELSE m END AS mime
 FROM norm"""
+
+
+def sql_incremental_ingest_roundtrip() -> str:
+    """Set-algebra twin of q_incremental_ingest_roundtrip: drop the vanished
+    urls, append ' changed' (one extra token) where doc_id % 9 == 0, count
+    whitespace tokens."""
+    return r"""
+WITH t AS (
+    SELECT 'http://' || source || '/p' || doc_id::VARCHAR AS url,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' changed' ELSE text END AS tx
+    FROM documents WHERE doc_id % 11 != 5
+)
+SELECT url,
+       len(list_filter(string_split_regex(tx, '\s+'), x -> x <> ''))::BIGINT
+           AS n_tokens
+FROM t"""

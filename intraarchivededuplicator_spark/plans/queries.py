@@ -996,3 +996,40 @@ def q_mime_fixup(spark, sf_dir):
         F.element_at(variants, (F.col("doc_id") % len(MIME_VARIANTS) + 1).cast("int")).alias("raw_mime"),
     )
     return d.select("doc_id", "raw_mime", fix_mime("raw_mime").alias("mime"))
+
+
+def q_incremental_ingest_roundtrip(spark, sf_dir):
+    """S4/S5 incremental ingest under the hash gate. Batch 1 seeds a temp
+    catalog from a pages frame derived from documents; batch 2 is a FULL
+    listing where doc_id % 9 == 0 texts changed (re-signatured via the
+    anti-join delta) and doc_id % 11 == 5 urls vanished (orphan-pruned).
+    The returned docs state is set algebra over documents for the oracle;
+    n_tokens proves the changed rows were genuinely re-computed."""
+    import tempfile
+
+    from ..sources.catalog import ParquetCatalog
+    from ..sources.ingest import incremental_ingest
+
+    d = load(spark, sf_dir, "documents")
+
+    def pages(df):
+        return df.select(
+            F.concat(F.lit("http://"), F.col("source"), F.lit("/p"), F.col("doc_id")).alias("url"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+
+    cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="ing_rt_"))
+    incremental_ingest(spark, cat, pages(d), extract=False)
+    d2 = d.filter(F.col("doc_id") % 11 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        ).otherwise(F.col("text")),
+    )
+    final = incremental_ingest(
+        spark, cat, pages(d2), extract=False, full_listing=True
+    )
+    return final.select("url", F.col("n_tokens").cast("long").alias("n_tokens"))

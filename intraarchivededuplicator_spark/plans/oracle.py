@@ -940,3 +940,13 @@ SELECT url,
        len(list_filter(string_split_regex(tx, '\s+'), x -> x <> ''))::BIGINT
            AS n_tokens
 FROM t"""
+
+
+def sql_junk_flags() -> str:
+    """Arithmetic twin of q_junk_flags: junk iff one of the planted
+    conditions holds (path, error boilerplate, blank)."""
+    return """
+SELECT doc_id,
+       (doc_id % 17 IN (0, 3) OR doc_id % 23 = 0 OR doc_id % 29 = 11)
+           AS is_junk
+FROM documents"""

@@ -1033,3 +1033,36 @@ def q_incremental_ingest_roundtrip(spark, sf_dir):
         spark, cat, pages(d2), extract=False, full_listing=True
     )
     return final.select("url", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def q_junk_flags(spark, sf_dir):
+    """P6 junk gate under the hash gate, with junk-ness planted BY
+    CONSTRUCTION so the oracle is arithmetic in doc_id: infrastructure
+    paths (favicon / .css) where doc_id % 17 in (0, 3), short error-page
+    boilerplate where doc_id % 23 == 0, blank extraction where
+    doc_id % 29 == 11. The corpus vocabulary is synthetic tokens with zero
+    matches for the error-page phrases (verified), so no non-planted row
+    can trip the regexes."""
+    from ..functions.junk import is_junk_page
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit("/p"), F.col("doc_id"))
+    url = (
+        F.when(F.col("doc_id") % 17 == 0, F.concat(url, F.lit("/favicon.ico")))
+        .when(F.col("doc_id") % 17 == 3, F.concat(url, F.lit("/styles.css")))
+        .otherwise(url)
+    )
+    text = (
+        F.when(F.col("doc_id") % 23 == 0, F.lit("404 not found"))
+        .when(F.col("doc_id") % 29 == 11, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    d2 = d.select(
+        "doc_id",
+        url.alias("url"),
+        text.alias("text"),
+        F.size(tokens(text)).alias("n_tokens"),
+    )
+    return d2.select(
+        "doc_id", is_junk_page("url", "text", "n_tokens").alias("is_junk")
+    )

@@ -288,11 +288,11 @@ def _media_grid(seed: int, tag: bytes) -> np.ndarray:
 
 
 def _ppm_payload(doc_id: int) -> bytes:
+    from ..functions.multimodal import _resize_gray
+
     w, h = media_dims(doc_id)
     grid = _media_grid(doc_id, b"img").reshape(8, 8)
-    ys = (np.arange(h) * 8) // h
-    xs = (np.arange(w) * 8) // w
-    gray = grid[np.ix_(ys, xs)]  # nearest-neighbor upscale of the 8x8 grid
+    gray = _resize_gray(grid, w, h)  # nearest-neighbor upscale of the 8x8 grid
     px = np.repeat(gray.reshape(h, w, 1), 3, axis=2).astype(np.uint8)
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
@@ -300,8 +300,12 @@ def _ppm_payload(doc_id: int) -> bytes:
 def _wav_payload(doc_id: int) -> bytes:
     n = media_n_samples(doc_id)
     # alternating-sign samples whose amplitude envelope encodes the seed
-    # grid: bin RMS ~ amplitude, so the 64-bin energy features are seed-rich
-    amp = _media_grid(doc_id, b"aud")[(64 * np.arange(n)) // n] // 2 + 24
+    # grid: bin RMS ~ amplitude, so the 64-bin energy features are seed-rich.
+    # amp must stay <= 127 — 128 + amp above 255 would wrap under uint8 and
+    # fold the envelope (amp and 256-amp indistinguishable), weakening the
+    # distinct-seeds-give-distinct-features invariant the near-dup oracle
+    # rests on. grid//4 + 24 spans 24..87: no wrap, still 64 levels.
+    amp = _media_grid(doc_id, b"aud")[(64 * np.arange(n)) // n] // 4 + 24
     sign = np.where(np.arange(n) % 2 == 0, 1, -1)
     data = (128 + sign * amp).astype(np.uint8).tobytes()
     return (
@@ -315,15 +319,14 @@ def _wav_payload(doc_id: int) -> bytes:
 
 
 def _avi_payload(doc_id: int) -> bytes:
-    from ..functions.multimodal import _encode_avi_dib
+    from ..functions.multimodal import _encode_avi_dib, _resize_gray
 
     w, h = media_dims(doc_id)
     nf = media_n_video_frames(doc_id)
-    ys = (np.arange(h) * 8) // h
-    xs = (np.arange(w) * 8) // w
     frames = [
-        _media_grid(doc_id * 16 + f, b"vid").reshape(8, 8)[np.ix_(ys, xs)]
-        .astype(np.float64)
+        _resize_gray(
+            _media_grid(doc_id * 16 + f, b"vid").reshape(8, 8), w, h
+        ).astype(np.float64)
         for f in range(nf)
     ]
     return _encode_avi_dib(frames)

@@ -494,7 +494,12 @@ def _real_decode_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
             feats.append(fv)
             continue
         if mt != "image":
-            raise NotImplementedError(f"unknown media_type {mt!r}")
+            # unknown/null media_type: quarantine, never abort — a single
+            # mislabeled row must not poison a batch job, and under
+            # stream_media a raise would fail the query on every restart
+            # (the file-source log re-reads the same poison file forever)
+            feats.append(None)
+            continue
         raw = bytes(raw)
         # Built-in parsers FIRST: they use unrounded float luma, while PIL's
         # convert("L") rounds to uint8 — trying them first means a given
@@ -591,7 +596,7 @@ def resize_media(
                 return None
             frames, _, _ = parsed
             return _encode_avi_dib([_resize_gray(g, out_w, out_h) for g in frames])
-        raise NotImplementedError(f"unknown media_type {mt!r}")
+        return None  # unknown/null media_type: quarantine (see decode)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

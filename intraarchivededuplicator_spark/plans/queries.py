@@ -243,7 +243,9 @@ def q_containment_pairs(spark, sf_dir):
     # the shingle kernel per branch costs a full corpus scan each time. The
     # persisted frame is the same slim projection the flagship's signature
     # pass shares (engine/pipeline computes it once for all legs);
-    # MEMORY_AND_DISK keeps it spill-safe at scale.
+    # MEMORY_AND_DISK keeps it spill-safe at scale. Lifecycle: driver-gate
+    # queries are single-action (evaluate once, session ends or LRU evicts);
+    # a long-lived caller embedding this should unpersist after consuming.
     from ..functions.udfs import make_shingle_hashes_udf
 
     d = load(spark, sf_dir, "documents").select(
@@ -931,6 +933,11 @@ def q_catalog_merge_roundtrip(spark, sf_dir):
     base = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
     )
+    # the +100000 insert keys must be disjoint from base keys, or the merge
+    # upserts where the oracle's UNION ALL keeps both — fail fast, not hash-
+    # mismatch, if a future corpus breaks the assumption
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    assert max_id < 100_000, f"insert-key offset collides: max doc_id {max_id}"
     cat.append(base, "docs")
     updates = base.filter(F.col("doc_id") % 7 == 0).withColumn("lang", F.lit("xx"))
     inserts = base.filter(F.col("doc_id") % 50 == 0).select(

@@ -182,9 +182,10 @@ class TestEncoderRoundtrip:
 class TestPlantedDupMargin:
     def test_signature_margin_supports_radius4_oracle(self):
         """q_media_near_dup_pairs' DuckDB oracle is exact only while planted
-        pairs are signature-identical AND every non-planted same-type pair
-        sits well above the radius-4 LSH join. Pin both properties over the
-        first 150 doc_ids (covers all type/dim/length combinations) so a
+        pairs are signature-identical AND every non-planted pair — cross-type
+        included, since the LSH join does not partition by media_type — sits
+        well above the radius-4 join. Pin both properties over the full
+        sf0.01 id range (500 docs, all type/dim/length combinations) so a
         content-kernel change that flattens features fails here, not in the
         driver gate."""
         from intraarchivededuplicator_spark.fixtures.synth import media_payload
@@ -208,20 +209,41 @@ class TestPlantedDupMargin:
             xi = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
             return ((planes @ xi) >= 0).astype(np.uint8)
 
-        n = 150
-        sigs = []
+        n = 500  # the full sf0.01 doc_id range the driver gate runs
+        sigs = np.empty((n, 64), dtype=np.uint8)
         for d in range(n):
             mt, raw = media_payload(d, dup_stride=3)
             f = decode_one(mt, raw)
             assert f is not None, (d, mt)
-            sigs.append(sig(f))
+            sigs[d] = sig(f)
         planted = {(d - 3, d) for d in range(n) if d % 10 == 7 and d >= 3}
+        # all-pairs Hamming matrix in one vectorized pass
+        ham = (sigs[:, None, :] != sigs[None, :, :]).sum(axis=2)
         for i in range(n):
             for j in range(i + 1, n):
-                if i % 3 != j % 3:
-                    continue
-                ham = int((sigs[i] != sigs[j]).sum())
                 if (i, j) in planted:
-                    assert ham == 0, f"planted pair {(i, j)} not identical"
+                    assert ham[i, j] == 0, f"planted pair {(i, j)} not identical"
                 else:
-                    assert ham >= 8, f"margin eroded: pair {(i, j)} at {ham} bits"
+                    assert ham[i, j] >= 8, (
+                        f"margin eroded: pair {(i, j)} at {ham[i, j]} bits"
+                    )
+
+
+class TestUnknownMediaTypeQuarantine:
+    """Unknown/null media_type must quarantine, not raise: under a
+    streaming source a raise re-fails on every restart (the file-source log
+    re-reads the same poison file forever). Pure-Python check of the batch
+    kernels the stream reuses."""
+
+    def test_decode_batch_quarantines_unknown_type(self):
+        import pandas as pd
+
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            _real_decode_batch,
+        )
+
+        out = _real_decode_batch(
+            pd.Series([b"GIF89a....", b"x", None]),
+            pd.Series(["gif", None, "image"]),
+        )
+        assert list(out["features"]) == [None, None, None]

@@ -91,8 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_fixup": q.q_mime_fixup,
         # incremental ingest roundtrip (S4/S5)
         "incremental_ingest_roundtrip": q.q_incremental_ingest_roundtrip,
-        # junk gate (P6)
+        # junk gate (P6) + quality scoring
         "junk_flags": q.q_junk_flags,
+        "text_quality": q.q_text_quality,
         # windows / relational coverage
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
@@ -177,6 +178,12 @@ def oracle_sql() -> dict[str, str]:
         "mime_fixup": o.sql_mime_fixup(q.MIME_VARIANTS),
         "incremental_ingest_roundtrip": o.sql_incremental_ingest_roundtrip(),
         "junk_flags": o.sql_junk_flags(),
+        "text_quality": o.sql_text_quality(
+            q.STOPWORDS,
+            q.QUALITY_MIN_TOKENS,
+            q.QUALITY_MAX_STOP_RATIO,
+            q.QUALITY_MIN_DISTINCT_RATIO,
+        ),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),

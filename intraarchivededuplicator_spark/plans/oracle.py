@@ -950,3 +950,38 @@ SELECT doc_id,
        (doc_id % 17 IN (0, 3) OR doc_id % 23 = 0 OR doc_id % 29 = 11)
            AS is_junk
 FROM documents"""
+
+
+def sql_text_quality(
+    stopwords: list[str],
+    min_tokens: int,
+    max_stop_ratio: float,
+    min_distinct_ratio: float,
+) -> str:
+    """DuckDB twin of q_text_quality: same tokenization (whitespace split,
+    empties dropped), same stopword list, same [^\\w\\s] punctuation class,
+    same rounding and gates."""
+    arr = ", ".join("'" + s + "'" for s in stopwords)
+    return rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tl
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(tl)::BIGINT AS n_tokens,
+           len(list_filter(tl, x -> list_contains([{arr}], x))) AS n_stop,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               AS n_punct,
+           len(list_distinct(tl)) AS n_distinct
+    FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       (n_tokens >= {min_tokens}
+        AND round(n_stop / greatest(n_tokens, 1), 6) <= {max_stop_ratio}
+        AND round(n_distinct / greatest(n_tokens, 1), 6)
+            >= {min_distinct_ratio}) AS passes_quality
+FROM m"""

@@ -1073,3 +1073,41 @@ def q_junk_flags(spark, sf_dir):
     return d2.select(
         "doc_id", is_junk_page("url", "text", "n_tokens").alias("is_junk")
     )
+
+
+STOPWORDS = ["the", "a", "of", "to", "in", "and", "is", "it"]
+QUALITY_MIN_TOKENS = 10
+QUALITY_MAX_STOP_RATIO = 0.5
+QUALITY_MIN_DISTINCT_RATIO = 0.2
+
+
+def q_text_quality(spark, sf_dir):
+    """Training-data quality scoring (length / punctuation / stopword
+    ratios) as one gated pass of pure column algebra — the pre-training
+    corpus filter shape (C4/Gopher-style heuristics, re-expressed JVM-side
+    so the filter folds into the scan at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tok = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", "")
+    )
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(t)) / F.greatest(n_tok, F.lit(1)), 6
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (n_tok >= QUALITY_MIN_TOKENS)
+            & (stop_ratio <= QUALITY_MAX_STOP_RATIO)
+            & (distinct_ratio >= QUALITY_MIN_DISTINCT_RATIO)
+        ).alias("passes_quality"),
+    )

@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_radius_pairs": q.q_simhash_radius_pairs,
         "simhash_radius_search": q.q_simhash_radius_search,
         "near_pairs_within_horizon": q.q_near_pairs_within_horizon,
+        "stream_near_dedup_replay": q.q_stream_near_dedup_replay,
         "simhash_clusters": q.q_simhash_clusters,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
@@ -122,6 +123,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": o.sql_simhash_signatures(),
         "simhash_radius_pairs": o.sql_simhash_radius_pairs(SIMHASH_RADIUS),
         "near_pairs_within_horizon": o.sql_near_pairs_within_horizon(
+            SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
+        ),
+        # the streaming replay emits the SAME pair set as its batch twin
+        # (equivalence pinned in tests/test_streaming_near_dedup.py), so the
+        # identical oracle applies to the real applyInPandasWithState run
+        "stream_near_dedup_replay": o.sql_near_pairs_within_horizon(
             SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
         ),
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),

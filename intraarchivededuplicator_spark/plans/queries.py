@@ -1111,3 +1111,57 @@ def q_text_quality(spark, sf_dir):
             & (distinct_ratio >= QUALITY_MIN_DISTINCT_RATIO)
         ).alias("passes_quality"),
     )
+
+
+def q_stream_near_dedup_replay(spark, sf_dir):
+    """The STATEFUL STREAMING near-dedup operator itself under the hash
+    gate. documents becomes a pages landing zone (url = zero-padded doc_id
+    so the stream's lexicographic pair canonicalization equals numeric
+    order; warc_ts = epoch + doc_id * 61 s, the batch twin's synthesized
+    event time), a real availableNow Structured Streaming query runs
+    stream_simhash_near_pairs (applyInPandasWithState) into a parquet sink,
+    and the sink is returned mapped back to doc_ids. Same kernel
+    (simhash64, shingle_k=3), radius, horizon, and blacklist as
+    q_near_pairs_within_horizon, so the SAME DuckDB oracle applies — the
+    stream/batch equivalence tests/test_streaming_near_dedup.py pins is now
+    also driver-hash-checked."""
+    import tempfile
+
+    from ..streaming.ingest_stream import PAGES_SCHEMA
+    from ..streaming.near_dedup_stream import stream_simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 61).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.col("lang"),
+    )
+    landing = tempfile.mkdtemp(prefix="snd_land_")
+    out_dir = tempfile.mkdtemp(prefix="snd_out_")
+    ckpt = tempfile.mkdtemp(prefix="snd_ckpt_")
+    pages.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(landing)
+    q = (
+        stream_simhash_near_pairs(
+            stream,
+            radius=SIMHASH_RADIUS,
+            watermark="48 hours",
+            horizon=f"{NEAR_HORIZON_SEC} seconds",
+            extract=False,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("url_lo").cast("long").alias("id_lo"),
+        F.col("url_hi").cast("long").alias("id_hi"),
+        F.col("distance").cast("int").alias("distance"),
+        F.col("pair_ts").cast("long").alias("pair_ts_sec"),
+    )

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,
+        "embedding_knn_ivf": q.q_embedding_knn_ivf,
         "embedding_near_pairs": q.q_embedding_near_pairs,
         "embedding_near_pairs_ann": q.q_embedding_near_pairs_ann,
         # masks + prefix scan (P3/P5)
@@ -159,6 +160,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8
+        ),
+        "embedding_knn_ivf": o.sql_embedding_knn_ivf(
+            EMB_SCALE, k=3, n_cells=16, nprobe=4
         ),
         "embedding_near_pairs": o.sql_embedding_near_pairs(EMB_SCALE, 0.4),
         "embedding_near_pairs_ann": o.sql_embedding_near_pairs_ann(

@@ -43,6 +43,7 @@ HEADLINE = [
     "best_simhash_match",
     "ngram_jaccard_pairs",
     "embedding_knn_ann",
+    "embedding_knn_ivf",
     "embedding_near_pairs_ann",
     "doc_stats",
     "token_stats_bpe",

@@ -1,0 +1,159 @@
+"""IVF-flat approximate nearest neighbor — the second ANN scale path.
+
+operators/ann.py routes candidates through hyperplane-LSH band joins (the
+text-SimHash trick reused on vectors). This module is the classical inverted-
+file alternative: quantize every vector to its nearest coarse centroid (its
+"cell"), store vectors as per-cell inverted lists, and answer a query by
+scanning only the lists of its `nprobe` closest cells. The reference's
+BK-tree plays the same role for Hamming space (prune the search to a metric
+neighborhood, /root/reference/deduplicator/bktree.hpp getWithinDistance);
+IVF is that idea for cosine space, realized as pure DataFrame algebra.
+
+Spark realization — zero Python in the hot path, three slim exchanges:
+
+1. coarse centroids: the `n_cells` vectors with the smallest
+   (md5(vec_id), vec_id) — a distributed TakeOrdered top-k, engine-portable
+   (the DuckDB oracle recomputes the identical sample; same device as
+   plans/queries.q_deterministic_sample). Sampled centroids are a legitimate
+   IVF quantizer; at production scale swap in k-means|| centroids via the
+   same (cell_id, cvec) contract — every downstream stage is unchanged.
+2. assignment: broadcast the centroid table (n_cells x dim ints — KB-sized
+   driver state, exactly what a cluster would broadcast) and compute the
+   exact integer-scaled cosine of every (vector, centroid) pair in one
+   map-only pass; rank cells per vector with a window over the SLIM
+   (id, cell, ccos) projection — vectors never ride this exchange.
+3. candidates: each vector's inverted-list cell is its rank-1 assignment;
+   each QUERY probes its `nprobe` best cells. probes |><| members on cell_id
+   (slim id pairs), then the exact fixed-point cosine re-rank joins the
+   vectors back by id and a per-query window keeps top-k.
+
+Determinism contract (shared with the DuckDB oracle, which replays the
+whole plan as SQL — candidacy is part of the differential spec, so the
+driver check is hash-exact, not recall-statistical): integer-scaled vectors
+(ann.INT_SCALE) make every dot/norm an exact int64; cosines are rounded to
+6 decimals before any ordering; all ties break on ascending id. `+ 0.0`
+normalizes a rounded -0.0 so both engines order the zero identically.
+
+Recall is governed by (n_cells, nprobe): nprobe == n_cells degenerates to
+exhaustive search (pinned equal to brute force in tests); the sf-gated query
+uses nprobe < n_cells so cell pruning is exercised under the hash gate.
+Skew: cell populations are data-dependent; `hot_cap` (the S13 analog)
+excludes cells whose list exceeds the cap from candidacy so one megacell
+cannot quadratically dominate the probe join — at 10^12 rows size n_cells
+~ sqrt(n) and cap lists at a small multiple of the mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from .ann import cosine, scaled_vec
+
+
+def centroid_rows(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple[int, list[int]]]:
+    """[(cell_id, scaled_centroid_vec)] — the n_cells rows with the smallest
+    (md5(id), id). orderBy+limit compiles to a distributed TakeOrdered (no
+    global sort); the result is the coarse-quantizer state every IVF build
+    materializes driver-side and broadcasts (KBs: n_cells x dim x 8B)."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
+        )
+        .orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, list(r["_v"])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """(id, neighbor_id, rank, cosine): IVF-routed approximate top-k.
+
+    Missing true neighbors live in unprobed cells (ANN semantics); every
+    returned cosine is exact. Columns match the brute-force twin
+    (plans/queries.q_embedding_knn) so recall is directly measurable.
+    """
+    spark: SparkSession = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # quantizer build doubles as the persist-materializing action, so the
+    # main job reads vectors from cache instead of re-scanning the source
+    sampled = (
+        vecs.orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, list(r["_v"])) for i, r in enumerate(sampled)],
+        "cell_id int, cvec array<bigint>",
+    )
+    # map-only quantization: n x n_cells slim rows out, vectors stay put
+    ccos = F.round(cosine(F.col("_v"), F.col("cvec")), 6) + F.lit(0.0)
+    assign = (
+        vecs.join(F.broadcast(cents))
+        .select("_id", "cell_id", ccos.alias("_ccos"))
+    )
+    w_cell = Window.partitionBy("_id").orderBy(
+        F.desc("_ccos"), F.asc("cell_id")
+    )
+    ranked_cells = assign.select(
+        "_id", "cell_id", F.row_number().over(w_cell).alias("_r")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    members = ranked_cells.filter(F.col("_r") == 1).select(
+        F.col("cell_id"), F.col("_id").alias("nid")
+    )
+    if hot_cap is not None:
+        ok = (
+            members.groupBy("cell_id")
+            .count()
+            .filter(F.col("count") <= hot_cap)
+            .select("cell_id")
+        )
+        members = members.join(F.broadcast(ok), "cell_id", "left_semi")
+    probes = ranked_cells.filter(F.col("_r") <= nprobe).select(
+        F.col("cell_id"), F.col("_id").alias("qid")
+    )
+    # a member belongs to exactly one cell and probe cells are distinct per
+    # query, so (qid, nid) pairs are unique by construction — no dedup pass
+    cand = probes.join(members.hint("shuffle_hash"), "cell_id").filter(
+        F.col("qid") != F.col("nid")
+    )
+
+    q = vecs.select(F.col("_id").alias("qid"), F.col("_v").alias("qv"))
+    n = vecs.select(F.col("_id").alias("nid"), F.col("_v").alias("nv"))
+    scored = (
+        cand.select("qid", "nid")
+        .join(q.hint("shuffle_hash"), "qid")
+        .join(n.hint("shuffle_hash"), "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w_k = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+        )
+    )

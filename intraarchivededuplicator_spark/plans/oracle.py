@@ -643,6 +643,75 @@ FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
+def sql_embedding_knn_ivf(
+    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for the IVF-flat ANN plan (operators/ivf.ivf_topk): the whole
+    quantizer is replayed in SQL — the md5-sampled centroid table, the exact
+    integer-scaled cell assignment, the nprobe cell probing, and the exact
+    re-rank — so candidacy is part of the differential spec and the driver
+    check is hash-exact (a neighbor in an unprobed cell is correctly absent
+    from BOTH engines). `+ 0.0` normalizes a rounded -0.0 so the two engines
+    order the zero cosine identically (mirrors ivf.ivf_topk)."""
+    return f"""
+WITH {_cte_emb(scale)},
+csample AS (
+    SELECT vec_id FROM embeddings
+    ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT {n_cells}
+),
+cents AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC) - 1
+               AS cell_id
+    FROM csample
+),
+cvec AS (SELECT c.cell_id, e.i, e.v FROM cents c JOIN ev e USING (vec_id)),
+cnorm AS (SELECT cell_id, sum(v * v)::BIGINT AS n2 FROM cvec GROUP BY cell_id),
+adots AS (
+    SELECT e.vec_id, c.cell_id, sum(e.v * c.v)::BIGINT AS dot
+    FROM ev e JOIN cvec c ON c.i = e.i
+    GROUP BY e.vec_id, c.cell_id
+),
+assign AS (
+    SELECT a.vec_id, a.cell_id,
+           round(dot / (sqrt(nv.n2) * sqrt(cn.n2)), 6) + 0.0 AS ccos
+    FROM adots a
+    JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN cnorm cn ON cn.cell_id = a.cell_id
+),
+ranked_cells AS (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cell_id ASC) AS r
+    FROM assign
+),
+members AS (SELECT cell_id, vec_id AS nid FROM ranked_cells WHERE r = 1),
+probes  AS (SELECT cell_id, vec_id AS qid FROM ranked_cells WHERE r <= {nprobe}),
+cand AS (
+    SELECT p.qid, m.nid FROM probes p JOIN members m USING (cell_id)
+    WHERE p.qid <> m.nid
+),
+cdots AS (
+    SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
+    FROM cand q
+    JOIN ev a ON a.vec_id = q.qid
+    JOIN ev b ON b.vec_id = q.nid AND b.i = a.i
+    GROUP BY q.qid, q.nid
+),
+scored AS (
+    SELECT d.qid, d.nid, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+    FROM cdots d JOIN norms x ON d.qid = x.vec_id JOIN norms y ON d.nid = y.vec_id
+),
+ranked AS (
+    SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS vec_id, nid AS neighbor_id, rank::INT AS rank, cosine
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_source_prefix_scan(prefix: str, k_shingle: int) -> str:
     return f"""
 SELECT doc_id, source, md5(text) AS text_hash

@@ -439,6 +439,19 @@ def q_embedding_knn_ann(spark, sf_dir):
     return ann_topk(e, k=3, dim=EMB_DIM, hamming_radius=28, n_bands=8)
 
 
+def q_embedding_knn_ivf(spark, sf_dir):
+    """Second ANN scale path — IVF-flat top-3: md5-sampled coarse centroids
+    (broadcast) -> exact integer-scaled cell assignment -> nprobe=4 of 16
+    cells probed -> inverted-list join -> exact cosine re-rank
+    (operators/ivf.py). Fully oracle-checked: the DuckDB twin replays the
+    identical quantizer, so cell candidacy itself is part of the
+    differential spec."""
+    from ..operators.ivf import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(e, k=3, n_cells=16, nprobe=4)
+
+
 def q_embedding_near_pairs_ann(spark, sf_dir):
     """ANN-routed near-pairs (cosine >= 0.4): the scale path twin of the
     O(n^2) q_embedding_near_pairs, which stays as the exactness oracle."""

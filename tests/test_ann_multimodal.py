@@ -132,6 +132,117 @@ class TestAnnTopK:
             assert sorted(r["ranks"]) == list(range(1, len(r["ranks"]) + 1))
 
 
+class TestIvfTopK:
+    """IVF-flat scale path (operators/ivf.py) — same differential pattern
+    as the LSH path: index-routed result vs brute-force exact."""
+
+    def _brute_force(self, df, k=3):
+        from pyspark.sql.window import Window
+
+        a = df.select(F.col("vec_id").alias("q"), F.col("embedding").cast("array<double>").alias("qv"))
+        b = df.select(F.col("vec_id").alias("n"), F.col("embedding").cast("array<double>").alias("nv"))
+        return {
+            (r["q"], r["n"])
+            for r in (
+                a.join(b, F.col("q") != F.col("n"))
+                .select("q", "n", cosine(F.col("qv"), F.col("nv")).alias("c"))
+                .withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.partitionBy("q").orderBy(F.desc("c"), F.asc("n"))
+                    ),
+                )
+                .filter(F.col("rank") <= k)
+            ).collect()
+        }
+
+    def test_full_probe_degenerates_to_exact(self, spark):
+        """nprobe == n_cells means every inverted list is scanned — the IVF
+        result must EQUAL brute force, not just approximate it."""
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+
+        df = spark.createDataFrame(_clustered_vectors())
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in ivf_topk(df, k=3, n_cells=8, nprobe=8).collect()
+        }
+        assert got == self._brute_force(df, k=3)
+
+    def test_recall_vs_brute_force_with_pruning(self, spark):
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+
+        df = spark.createDataFrame(_clustered_vectors())
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in ivf_topk(df, k=3, n_cells=12, nprobe=4).collect()
+        }
+        want = self._brute_force(df, k=3)
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+    def test_deterministic_under_repartition(self, spark):
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+
+        df = spark.createDataFrame(_clustered_vectors())
+        a = sorted(map(tuple, ivf_topk(df, k=3, n_cells=8, nprobe=3).collect()))
+        b = sorted(
+            map(tuple, ivf_topk(df.repartition(7), k=3, n_cells=8, nprobe=3).collect())
+        )
+        assert a == b
+
+    def test_hot_cap_excludes_megacells(self, spark):
+        """Cells whose inverted list exceeds hot_cap are dropped from
+        candidacy (the S13 skew-registry analog for cosine space): no capped
+        neighbor may belong to an over-cap cell, recomputed independently."""
+        from collections import Counter
+
+        from intraarchivededuplicator_spark.operators.ann import INT_SCALE
+        from intraarchivededuplicator_spark.operators.ivf import (
+            centroid_rows,
+            ivf_topk,
+        )
+
+        rows = _clustered_vectors()
+        df = spark.createDataFrame(rows)
+        n_cells, cap = 4, 10
+        cents = centroid_rows(df, "vec_id", "embedding", n_cells)
+        scaled = {
+            r.vec_id: np.copysign(
+                np.floor(np.abs(np.array(r.embedding, dtype=np.float64)) * INT_SCALE + 0.5),
+                np.array(r.embedding, dtype=np.float64),
+            )
+            for r in rows
+        }
+
+        def cell_of(vid):
+            v = scaled[vid]
+            best = None
+            for cid, cv in cents:
+                c = np.array(cv, dtype=np.float64)
+                ccos = round(float(v @ c) / (np.sqrt(v @ v) * np.sqrt(c @ c)), 6)
+                key = (-ccos, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            return best[1]
+
+        cell = {vid: cell_of(vid) for vid in scaled}
+        sizes = Counter(cell.values())
+        over = {c for c, n in sizes.items() if n > cap}
+        assert over, "fixture must produce at least one over-cap cell"
+
+        uncapped = ivf_topk(df, k=3, n_cells=n_cells, nprobe=2).collect()
+        capped = ivf_topk(df, k=3, n_cells=n_cells, nprobe=2, hot_cap=cap).collect()
+        assert any(cell[r["neighbor_id"]] in over for r in uncapped)
+        assert all(cell[r["neighbor_id"]] not in over for r in capped)
+        got, full = {(r["vec_id"], r["neighbor_id"]) for r in capped}, {
+            (r["vec_id"], r["neighbor_id"]) for r in uncapped
+        }
+        # capping only removes candidates; survivors that remain top-k agree
+        assert got - full == set() or all(
+            cell[n] not in over for _, n in got - full
+        )
+
+
 def _pix_grid(w, h, phase):
     """Deterministic (r, g, b) pixel grid, varied by phase for distinct frames."""
     return [

@@ -70,21 +70,17 @@ def centroid_rows(
     return [(i, list(r["_v"])) for i, r in enumerate(rows)]
 
 
-def ivf_topk(
+def _ivf_candidates(
     emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    hot_cap: int | None = None,
-) -> DataFrame:
-    """(id, neighbor_id, rank, cosine): IVF-routed approximate top-k.
-
-    Missing true neighbors live in unprobed cells (ANN semantics); every
-    returned cosine is exact. Columns match the brute-force twin
-    (plans/queries.q_embedding_knn) so recall is directly measurable.
-    """
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    nprobe: int,
+    hot_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(vecs, cand): the persisted scaled-vector table ("_id", "_v") and the
+    directed probe candidates (qid, nid) — the shared front half of both IVF
+    query shapes."""
     spark: SparkSession = emb.sparkSession
     vecs = emb.select(
         F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
@@ -133,7 +129,25 @@ def ivf_topk(
     cand = probes.join(members.hint("shuffle_hash"), "cell_id").filter(
         F.col("qid") != F.col("nid")
     )
+    return vecs, cand
 
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """(id, neighbor_id, rank, cosine): IVF-routed approximate top-k.
+
+    Missing true neighbors live in unprobed cells (ANN semantics); every
+    returned cosine is exact. Columns match the brute-force twin
+    (plans/queries.q_embedding_knn) so recall is directly measurable.
+    """
+    vecs, cand = _ivf_candidates(emb, id_col, vec_col, n_cells, nprobe, hot_cap)
     q = vecs.select(F.col("_id").alias("qid"), F.col("_v").alias("qv"))
     n = vecs.select(F.col("_id").alias("nid"), F.col("_v").alias("nv"))
     scored = (
@@ -156,4 +170,38 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
             "cosine",
         )
+    )
+
+
+def ivf_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """(id_lo, id_hi, cosine) with cosine >= threshold — the IVF-routed twin
+    of ann.ann_near_pairs. A pair is a candidate when EITHER side probes the
+    other's cell (both sides always probe their own cell at rank 1, so
+    same-cell pairs are never missed); directed candidates canonicalize to
+    undirected pairs before the exact re-rank, so each pair pays one cosine.
+    Precision is exact; recall is governed by (n_cells, nprobe)."""
+    vecs, cand = _ivf_candidates(emb, id_col, vec_col, n_cells, nprobe, hot_cap)
+    pairs = cand.select(
+        F.least("qid", "nid").alias("id_lo"),
+        F.greatest("qid", "nid").alias("id_hi"),
+    ).distinct()
+    a = vecs.select(F.col("_id").alias("id_lo"), F.col("_v").alias("_va"))
+    b = vecs.select(F.col("_id").alias("id_hi"), F.col("_v").alias("_vb"))
+    return (
+        pairs.join(a.hint("shuffle_hash"), "id_lo")
+        .join(b.hint("shuffle_hash"), "id_hi")
+        .select(
+            "id_lo",
+            "id_hi",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -643,18 +643,15 @@ FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
-def sql_embedding_knn_ivf(
-    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
-) -> str:
-    """Oracle for the IVF-flat ANN plan (operators/ivf.ivf_topk): the whole
-    quantizer is replayed in SQL — the md5-sampled centroid table, the exact
-    integer-scaled cell assignment, the nprobe cell probing, and the exact
-    re-rank — so candidacy is part of the differential spec and the driver
-    check is hash-exact (a neighbor in an unprobed cell is correctly absent
-    from BOTH engines). `+ 0.0` normalizes a rounded -0.0 so the two engines
-    order the zero cosine identically (mirrors ivf.ivf_topk)."""
-    return f"""
-WITH {_cte_emb(scale)},
+def _cte_ivf(scale: int, n_cells: int, nprobe: int) -> str:
+    """CTEs ending in `cand(qid, nid)`: the IVF-flat quantizer replayed in
+    SQL — md5-sampled centroid table, exact integer-scaled cell assignment,
+    nprobe cell probing — so cell candidacy is part of the differential spec
+    and checks over it are hash-exact (a neighbor in an unprobed cell is
+    correctly absent from BOTH engines). `+ 0.0` normalizes a rounded -0.0
+    so the two engines order the zero cosine identically (mirrors
+    operators/ivf.ivf_topk)."""
+    return f"""{_cte_emb(scale)},
 csample AS (
     SELECT vec_id FROM embeddings
     ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT {n_cells}
@@ -690,7 +687,16 @@ probes  AS (SELECT cell_id, vec_id AS qid FROM ranked_cells WHERE r <= {nprobe})
 cand AS (
     SELECT p.qid, m.nid FROM probes p JOIN members m USING (cell_id)
     WHERE p.qid <> m.nid
-),
+)"""
+
+
+def sql_embedding_knn_ivf(
+    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for the IVF-flat top-k plan (operators/ivf.ivf_topk); see
+    _cte_ivf for the differential-spec contract."""
+    return f"""
+WITH {_cte_ivf(scale, n_cells, nprobe)},
 cdots AS (
     SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
     FROM cand q
@@ -710,6 +716,31 @@ ranked AS (
 )
 SELECT qid AS vec_id, nid AS neighbor_id, rank::INT AS rank, cosine
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_embedding_near_pairs_ivf(
+    scale: int, threshold: float, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for the IVF-routed near-pairs plan (operators/ivf.
+    ivf_near_pairs): directed probe candidates canonicalized to undirected
+    pairs, exact cosine, threshold filter; see _cte_ivf for the
+    differential-spec contract."""
+    return f"""
+WITH {_cte_ivf(scale, n_cells, nprobe)},
+pairs AS (
+    SELECT least(qid, nid) AS id_lo, greatest(qid, nid) AS id_hi
+    FROM cand GROUP BY 1, 2
+),
+cdots AS (
+    SELECT p.id_lo, p.id_hi, sum(a.v * b.v)::BIGINT AS dot
+    FROM pairs p
+    JOIN ev a ON a.vec_id = p.id_lo
+    JOIN ev b ON b.vec_id = p.id_hi AND b.i = a.i
+    GROUP BY p.id_lo, p.id_hi
+)
+SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
+WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
 def sql_source_prefix_scan(prefix: str, k_shingle: int) -> str:

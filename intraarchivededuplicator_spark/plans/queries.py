@@ -452,6 +452,16 @@ def q_embedding_knn_ivf(spark, sf_dir):
     return ivf_topk(e, k=3, n_cells=16, nprobe=4)
 
 
+def q_embedding_near_pairs_ivf(spark, sf_dir):
+    """IVF-routed near-pairs (cosine >= 0.4): same inverted-list quantizer as
+    q_embedding_knn_ivf, canonicalized to undirected pairs; the O(n^2)
+    q_embedding_near_pairs stays as the exactness oracle."""
+    from ..operators.ivf import ivf_near_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_near_pairs(e, threshold=0.4, n_cells=16, nprobe=4)
+
+
 def q_embedding_near_pairs_ann(spark, sf_dir):
     """ANN-routed near-pairs (cosine >= 0.4): the scale path twin of the
     O(n^2) q_embedding_near_pairs, which stays as the exactness oracle."""

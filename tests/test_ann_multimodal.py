@@ -190,6 +190,54 @@ class TestIvfTopK:
         )
         assert a == b
 
+    def test_near_pairs_full_probe_equals_exact(self, spark):
+        """nprobe == n_cells: IVF near-pairs must EQUAL the exact O(n^2)
+        threshold join (every inverted list scanned)."""
+        from intraarchivededuplicator_spark.operators.ivf import ivf_near_pairs
+
+        df = spark.createDataFrame(_clustered_vectors())
+        t = 0.9
+        got = {
+            (r["id_lo"], r["id_hi"])
+            for r in ivf_near_pairs(df, threshold=t, n_cells=8, nprobe=8).collect()
+        }
+        a = df.select(F.col("vec_id").alias("id_lo"), F.col("embedding").cast("array<double>").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_hi"), F.col("embedding").cast("array<double>").alias("vb"))
+        want = {
+            (r["id_lo"], r["id_hi"])
+            for r in (
+                a.join(b, F.col("id_lo") < F.col("id_hi"))
+                .select("id_lo", "id_hi", cosine(F.col("va"), F.col("vb")).alias("c"))
+                .filter(F.col("c") >= t)
+            ).collect()
+        }
+        assert want and got == want
+
+    def test_near_pairs_pruned_is_subset_with_recall(self, spark):
+        """With pruning, IVF pairs are a subset of the exact pair set
+        (precision exact) at recall >= 0.9 on clustered vectors."""
+        from intraarchivededuplicator_spark.operators.ivf import ivf_near_pairs
+
+        df = spark.createDataFrame(_clustered_vectors())
+        t = 0.9
+        got = {
+            (r["id_lo"], r["id_hi"])
+            for r in ivf_near_pairs(df, threshold=t, n_cells=12, nprobe=3).collect()
+        }
+        a = df.select(F.col("vec_id").alias("id_lo"), F.col("embedding").cast("array<double>").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_hi"), F.col("embedding").cast("array<double>").alias("vb"))
+        want = {
+            (r["id_lo"], r["id_hi"])
+            for r in (
+                a.join(b, F.col("id_lo") < F.col("id_hi"))
+                .select("id_lo", "id_hi", cosine(F.col("va"), F.col("vb")).alias("c"))
+                .filter(F.col("c") >= t)
+            ).collect()
+        }
+        assert got <= want
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"IVF near-pairs recall {recall:.3f} < 0.9"
+
     def test_hot_cap_excludes_megacells(self, spark):
         """Cells whose inverted list exceeds hot_cap are dropped from
         candidacy (the S13 skew-registry analog for cosine space): no capped

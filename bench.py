@@ -45,6 +45,7 @@ HEADLINE = [
     "embedding_knn_ann",
     "embedding_knn_ivf",
     "embedding_near_pairs_ann",
+    "embedding_near_pairs_ivf",
     "doc_stats",
     "token_stats_bpe",
     "langid_heuristic",

@@ -82,9 +82,16 @@ def _ivf_candidates(
     directed probe candidates (qid, nid) — the shared front half of both IVF
     query shapes."""
     spark: SparkSession = emb.sparkSession
-    vecs = emb.select(
-        F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = (
+        emb.select(
+            F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
+        )
+        # null/empty embeddings are absent from the SQL oracle by construction
+        # (unnest emits no rows), so the engine drops them too — parity, and
+        # it keeps null/NaN cosines out of the rank ordering
+        .filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # quantizer build doubles as the persist-materializing action, so the
     # main job reads vectors from cache instead of re-scanning the source

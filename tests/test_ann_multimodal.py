@@ -190,6 +190,19 @@ class TestIvfTopK:
         )
         assert a == b
 
+    def test_null_and_empty_embeddings_excluded(self, spark):
+        """Null/empty vectors are absent from the SQL oracle by construction
+        (unnest emits no rows) — the engine must drop them identically."""
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+
+        rows = [(r.vec_id, [float(x) for x in r.embedding])
+                for r in _clustered_vectors()[:20]]
+        rows += [(900, None), (901, [])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = ivf_topk(df, k=3, n_cells=4, nprobe=4).collect()
+        seen = {r["vec_id"] for r in out} | {r["neighbor_id"] for r in out}
+        assert seen and not seen & {900, 901}
+
     def test_near_pairs_full_probe_equals_exact(self, spark):
         """nprobe == n_cells: IVF near-pairs must EQUAL the exact O(n^2)
         threshold join (every inverted list scanned)."""

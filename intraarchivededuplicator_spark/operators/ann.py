@@ -138,7 +138,9 @@ def ann_topk(
         F.col(id_col).alias("_aid"),
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
-    )
+        # null/empty vectors are absent from the SQL oracle (unnest emits no
+        # rows) — drop them here too so both engines agree (ivf.py ditto)
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") > 0))
     # cand feeds THREE subtrees (both directions + the two vector
     # prefilters); without a persist the band join + Hamming verify re-run
     # per consumer — exchange reuse dedupes the shuffle but not the join.
@@ -210,7 +212,9 @@ def ann_near_pairs(
         F.col(id_col).alias("_aid"),
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
-    )
+        # null/empty vectors are absent from the SQL oracle (unnest emits no
+        # rows) — drop them here too so both engines agree (ivf.py ditto)
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") > 0))
     # three consumers, same rationale as ann_topk's persist
     cand = banded_self_join(
         sigged,

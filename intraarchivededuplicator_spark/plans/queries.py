@@ -405,7 +405,7 @@ def q_embedding_knn(spark, sf_dir):
     cross-engine determinism); rank ties -> neighbor id asc."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _scaled(F.col("embedding")).alias("v")
-    )
+    ).filter(F.col("v").isNotNull() & (F.size("v") > 0))
     a = e.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
     joined = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
@@ -478,7 +478,7 @@ def q_embedding_near_pairs(spark, sf_dir):
     embeddings top out near 0.51)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _scaled(F.col("embedding")).alias("v")
-    )
+    ).filter(F.col("v").isNotNull() & (F.size("v") > 0))
     a = e.select(F.col("vec_id").alias("id_lo"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_hi"), F.col("v").alias("vb"))
     joined = a.join(b, F.col("id_lo") < F.col("id_hi"))

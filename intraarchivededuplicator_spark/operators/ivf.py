@@ -63,6 +63,7 @@ def centroid_rows(
         emb.select(
             F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
         )
+        .filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
         .orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
         .limit(n_cells)
         .collect()

@@ -653,7 +653,10 @@ def _cte_ivf(scale: int, n_cells: int, nprobe: int) -> str:
     operators/ivf.ivf_topk)."""
     return f"""{_cte_emb(scale)},
 csample AS (
+    -- sample AFTER dropping null/empty embeddings, mirroring the engine's
+    -- vecs filter: such rows exist nowhere in either plan
     SELECT vec_id FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
     ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC LIMIT {n_cells}
 ),
 cents AS (

@@ -203,6 +203,46 @@ class TestIvfTopK:
         seen = {r["vec_id"] for r in out} | {r["neighbor_id"] for r in out}
         assert seen and not seen & {900, 901}
 
+    def test_null_parity_vs_duckdb_oracle(self, spark, tmp_path):
+        """The full differential on a corpus WITH planted null/empty
+        embeddings: the engine's IVF top-k must match the SQL oracle
+        row-for-row (the driver-gate testdata is null-free, so this is the
+        only place the null-drop parity is actually exercised)."""
+        import duckdb
+        import pandas as pd
+
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+        from intraarchivededuplicator_spark.plans.oracle import (
+            sql_embedding_knn_ivf,
+        )
+
+        rng = np.random.default_rng(11)
+        vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(30)]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": list(range(30)) + [900, 901],
+                "embedding": [np.array(v, dtype=np.float32) for v in vecs]
+                + [None, np.array([], dtype=np.float32)],
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pdf.to_parquet(path)
+
+        got = sorted(
+            (r["vec_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_topk(
+                spark.read.parquet(path), k=3, n_cells=4, nprobe=2
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        want = sorted(
+            map(tuple, con.sql(
+                sql_embedding_knn_ivf(1_000_000, k=3, n_cells=4, nprobe=2)
+            ).fetchall())
+        )
+        assert got == want
+
     def test_near_pairs_full_probe_equals_exact(self, spark):
         """nprobe == n_cells: IVF near-pairs must EQUAL the exact O(n^2)
         threshold join (every inverted list scanned)."""

@@ -132,6 +132,105 @@ class TestAnnTopK:
             assert sorted(r["ranks"]) == list(range(1, len(r["ranks"]) + 1))
 
 
+class TestEmbeddingFamilyNullParity:
+    """Every embedding query shape vs its DuckDB oracle on a corpus WITH
+    planted null/empty embeddings (the gate testdata is null-free, so the
+    null-drop guards in ann.py / ivf.py / the brute-force twins are only
+    proven here)."""
+
+    DIM, SCALE = 8, 1_000_000
+
+    @pytest.fixture()
+    def corpus(self, tmp_path):
+        import pandas as pd
+
+        rng = np.random.default_rng(23)
+        base = rng.standard_normal(self.DIM)
+        vecs = [base + 0.02 * rng.standard_normal(self.DIM) for _ in range(4)]
+        vecs += [rng.standard_normal(self.DIM) for _ in range(26)]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": list(range(30)) + [900, 901],
+                "embedding": [np.asarray(v, dtype=np.float32) for v in vecs]
+                + [None, np.array([], dtype=np.float32)],
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pdf.to_parquet(path)
+        return tmp_path, path
+
+    def _compare(self, sdf, sql, path):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        got = sorted(tuple(r) for r in sdf.collect())
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == want and not any(900 in t or 901 in t for t in got)
+        return got
+
+    def test_brute_force_twins(self, spark, corpus):
+        from intraarchivededuplicator_spark.plans import oracle as o
+        from intraarchivededuplicator_spark.plans import queries as q
+
+        sf_dir, path = corpus
+        rows = self._compare(
+            q.q_embedding_knn(spark, str(sf_dir)),
+            o.sql_embedding_knn(self.SCALE, 3),
+            path,
+        )
+        assert rows  # non-vacuous
+        pairs = self._compare(
+            q.q_embedding_near_pairs(spark, str(sf_dir)),
+            o.sql_embedding_near_pairs(self.SCALE, 0.4),
+            path,
+        )
+        assert pairs  # planted near-dup cluster guarantees >= 1 pair
+
+    def test_lsh_ann_twins(self, spark, corpus):
+        from intraarchivededuplicator_spark.operators.ann import (
+            ann_near_pairs,
+            ann_topk,
+        )
+        from intraarchivededuplicator_spark.plans import oracle as o
+
+        _, path = corpus
+        df = spark.read.parquet(path)
+        rows = self._compare(
+            ann_topk(df, k=3, dim=self.DIM, hamming_radius=28, n_bands=8),
+            o.sql_embedding_knn_ann(
+                self.DIM, self.SCALE, k=3, hamming_radius=28, n_bands=8
+            ),
+            path,
+        )
+        assert rows
+        self._compare(
+            ann_near_pairs(
+                df, threshold=0.4, dim=self.DIM, hamming_radius=28, n_bands=8
+            ),
+            o.sql_embedding_near_pairs_ann(
+                self.DIM, self.SCALE, threshold=0.4, hamming_radius=28, n_bands=8
+            ),
+            path,
+        )
+
+    def test_ivf_near_pairs(self, spark, corpus):
+        from intraarchivededuplicator_spark.operators.ivf import ivf_near_pairs
+        from intraarchivededuplicator_spark.plans import oracle as o
+
+        _, path = corpus
+        pairs = self._compare(
+            ivf_near_pairs(
+                spark.read.parquet(path), threshold=0.4, n_cells=4, nprobe=2
+            ),
+            o.sql_embedding_near_pairs_ivf(
+                self.SCALE, threshold=0.4, n_cells=4, nprobe=2
+            ),
+            path,
+        )
+        assert pairs  # same-cell planted cluster keeps this non-vacuous
+
+
 class TestIvfTopK:
     """IVF-flat scale path (operators/ivf.py) — same differential pattern
     as the LSH path: index-routed result vs brute-force exact."""

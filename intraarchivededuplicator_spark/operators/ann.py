@@ -102,6 +102,15 @@ def cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def rcos6(a, b):
+    """Rank/output-grade cosine: round to 6 decimals, then `+ 0.0` so a
+    rounded -0.0 normalizes to +0.0. Every cosine that feeds an ORDER BY or
+    the hash-gated output must use this (the SQL oracles add the same
+    `+ 0.0`) — otherwise a candidate set holding both a -0.0 and a +0.0
+    could rank or hash differently across engines."""
+    return F.round(cosine(a, b), 6) + F.lit(0.0)
+
+
 def _prefilter_vecs(vecs: DataFrame, cand: DataFrame, out_id: str) -> DataFrame:
     """Semi-join reduction for the re-rank joins: the vector table is FAT
     (scaled int64 arrays) while the candidate-id set is bare longs — broadcast
@@ -170,7 +179,7 @@ def ann_topk(
         both.join(q.hint("shuffle_hash"), "qid")
         .join(n.hint("shuffle_hash"), "nid")
         .select(
-            "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine")
+            "qid", "nid", rcos6(F.col("qv"), F.col("nv")).alias("cosine")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -238,7 +247,7 @@ def ann_near_pairs(
         .select(
             "id_lo",
             "id_hi",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            rcos6(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

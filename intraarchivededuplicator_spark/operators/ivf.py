@@ -49,26 +49,41 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from .ann import cosine, scaled_vec
+from .ann import cosine, rcos6, scaled_vec
+
+
+def _scaled_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """("_id", "_v"): integer-scaled vectors with null/empty rows dropped —
+    such rows are absent from the SQL oracle by construction (unnest emits
+    no rows), so the engine drops them too; parity, and it keeps null/NaN
+    cosines out of the rank ordering."""
+    return emb.select(
+        F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
+    ).filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
+
+
+def _sample_centroids(vecs: DataFrame, n_cells: int) -> list[tuple[int, list[int]]]:
+    """[(cell_id, scaled_centroid_vec)] from a _scaled_vecs frame — the
+    n_cells rows with the smallest (md5(id), id). orderBy+limit compiles to
+    a distributed TakeOrdered (no global sort); the result is the
+    coarse-quantizer state every IVF build materializes driver-side and
+    broadcasts (KBs: n_cells x dim x 8B). The ONE sampling implementation:
+    _ivf_candidates (the engine) and centroid_rows (the test surface) both
+    call this, so they cannot drift."""
+    rows = (
+        vecs.orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, list(r["_v"])) for i, r in enumerate(rows)]
 
 
 def centroid_rows(
     emb: DataFrame, id_col: str, vec_col: str, n_cells: int
 ) -> list[tuple[int, list[int]]]:
-    """[(cell_id, scaled_centroid_vec)] — the n_cells rows with the smallest
-    (md5(id), id). orderBy+limit compiles to a distributed TakeOrdered (no
-    global sort); the result is the coarse-quantizer state every IVF build
-    materializes driver-side and broadcasts (KBs: n_cells x dim x 8B)."""
-    rows = (
-        emb.select(
-            F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
-        )
-        .filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
-        .orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
-        .limit(n_cells)
-        .collect()
-    )
-    return [(i, list(r["_v"])) for i, r in enumerate(rows)]
+    """Public quantizer-build entry over a raw embeddings frame; see
+    _sample_centroids (shared with the engine's _ivf_candidates)."""
+    return _sample_centroids(_scaled_vecs(emb, id_col, vec_col), n_cells)
 
 
 def _ivf_candidates(
@@ -83,27 +98,12 @@ def _ivf_candidates(
     directed probe candidates (qid, nid) — the shared front half of both IVF
     query shapes."""
     spark: SparkSession = emb.sparkSession
-    vecs = (
-        emb.select(
-            F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_v")
-        )
-        # null/empty embeddings are absent from the SQL oracle by construction
-        # (unnest emits no rows), so the engine drops them too — parity, and
-        # it keeps null/NaN cosines out of the rank ordering
-        .filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    vecs = _scaled_vecs(emb, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     # quantizer build doubles as the persist-materializing action, so the
     # main job reads vectors from cache instead of re-scanning the source
-    sampled = (
-        vecs.orderBy(F.md5(F.col("_id").cast("string")).asc(), F.col("_id").asc())
-        .limit(n_cells)
-        .collect()
-    )
     cents = spark.createDataFrame(
-        [(i, list(r["_v"])) for i, r in enumerate(sampled)],
-        "cell_id int, cvec array<bigint>",
+        _sample_centroids(vecs, n_cells), "cell_id int, cvec array<bigint>"
     )
     # map-only quantization: n x n_cells slim rows out, vectors stay put
     ccos = F.round(cosine(F.col("_v"), F.col("cvec")), 6) + F.lit(0.0)
@@ -165,7 +165,7 @@ def ivf_topk(
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+            rcos6(F.col("qv"), F.col("nv")).alias("cosine"),
         )
     )
     w_k = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -209,7 +209,7 @@ def ivf_near_pairs(
         .select(
             "id_lo",
             "id_hi",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            rcos6(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

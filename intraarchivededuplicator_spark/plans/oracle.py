@@ -486,7 +486,7 @@ dots AS (
 ),
 scored AS (
     SELECT d.vec_id, d.neighbor_id,
-           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
     FROM dots d JOIN norms x ON d.vec_id = x.vec_id
                 JOIN norms y ON d.neighbor_id = y.vec_id
 ),
@@ -506,7 +506,7 @@ dots AS (
     FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
     GROUP BY a.vec_id, b.vec_id
 )
-SELECT id_lo, id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+SELECT id_lo, id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
 FROM dots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
@@ -596,7 +596,7 @@ cdots AS (
 ),
 scored AS (
     SELECT d.qid, d.nid,
-           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
     FROM cdots d JOIN norms x ON d.qid = x.vec_id JOIN norms y ON d.nid = y.vec_id
 ),
 ranked AS (
@@ -638,19 +638,32 @@ cdots AS (
     JOIN ev b ON b.vec_id = q.id_hi AND b.i = a.i
     GROUP BY q.id_lo, q.id_hi
 )
-SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
 FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
-def _cte_ivf(scale: int, n_cells: int, nprobe: int) -> str:
+def _cte_ivf(
+    scale: int, n_cells: int, nprobe: int, hot_cap: int | None = None
+) -> str:
     """CTEs ending in `cand(qid, nid)`: the IVF-flat quantizer replayed in
     SQL — md5-sampled centroid table, exact integer-scaled cell assignment,
     nprobe cell probing — so cell candidacy is part of the differential spec
     and checks over it are hash-exact (a neighbor in an unprobed cell is
     correctly absent from BOTH engines). `+ 0.0` normalizes a rounded -0.0
     so the two engines order the zero cosine identically (mirrors
-    operators/ivf.ivf_topk)."""
+    operators/ivf.ivf_topk). `hot_cap` mirrors the engine's S13 skew knob
+    (operators/ivf._ivf_candidates): cells whose inverted list exceeds the
+    cap are excluded from candidacy, expressed as a GROUP BY ... HAVING
+    semi-join — so capped plans stay under the hash-exact differential
+    contract instead of silently diverging."""
+    members_leg = (
+        "SELECT m.cell_id, m.nid FROM members_all m JOIN ("
+        f"SELECT cell_id FROM members_all GROUP BY cell_id HAVING count(*) <= {hot_cap}"
+        ") ok USING (cell_id)"
+        if hot_cap is not None
+        else "SELECT cell_id, nid FROM members_all"
+    )
     return f"""{_cte_emb(scale)},
 csample AS (
     -- sample AFTER dropping null/empty embeddings, mirroring the engine's
@@ -685,7 +698,8 @@ ranked_cells AS (
                               ORDER BY ccos DESC, cell_id ASC) AS r
     FROM assign
 ),
-members AS (SELECT cell_id, vec_id AS nid FROM ranked_cells WHERE r = 1),
+members_all AS (SELECT cell_id, vec_id AS nid FROM ranked_cells WHERE r = 1),
+members AS ({members_leg}),
 probes  AS (SELECT cell_id, vec_id AS qid FROM ranked_cells WHERE r <= {nprobe}),
 cand AS (
     SELECT p.qid, m.nid FROM probes p JOIN members m USING (cell_id)
@@ -694,12 +708,16 @@ cand AS (
 
 
 def sql_embedding_knn_ivf(
-    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
+    scale: int,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
 ) -> str:
     """Oracle for the IVF-flat top-k plan (operators/ivf.ivf_topk); see
     _cte_ivf for the differential-spec contract."""
     return f"""
-WITH {_cte_ivf(scale, n_cells, nprobe)},
+WITH {_cte_ivf(scale, n_cells, nprobe, hot_cap)},
 cdots AS (
     SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
     FROM cand q
@@ -708,7 +726,7 @@ cdots AS (
     GROUP BY q.qid, q.nid
 ),
 scored AS (
-    SELECT d.qid, d.nid, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+    SELECT d.qid, d.nid, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
     FROM cdots d JOIN norms x ON d.qid = x.vec_id JOIN norms y ON d.nid = y.vec_id
 ),
 ranked AS (
@@ -722,14 +740,18 @@ FROM ranked WHERE rank <= {k}"""
 
 
 def sql_embedding_near_pairs_ivf(
-    scale: int, threshold: float, n_cells: int = 16, nprobe: int = 4
+    scale: int,
+    threshold: float,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
 ) -> str:
     """Oracle for the IVF-routed near-pairs plan (operators/ivf.
     ivf_near_pairs): directed probe candidates canonicalized to undirected
     pairs, exact cosine, threshold filter; see _cte_ivf for the
     differential-spec contract."""
     return f"""
-WITH {_cte_ivf(scale, n_cells, nprobe)},
+WITH {_cte_ivf(scale, n_cells, nprobe, hot_cap)},
 pairs AS (
     SELECT least(qid, nid) AS id_lo, greatest(qid, nid) AS id_hi
     FROM cand GROUP BY 1, 2
@@ -741,7 +763,7 @@ cdots AS (
     JOIN ev b ON b.vec_id = p.id_hi AND b.i = a.i
     GROUP BY p.id_lo, p.id_hi
 )
-SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+SELECT d.id_lo, d.id_hi, round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
 FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_id
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 

@@ -414,7 +414,8 @@ def q_embedding_knn(spark, sf_dir):
         / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
     )
     scored = joined.select(
-        "vec_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+        # + 0.0 normalizes a rounded -0.0 before ranking/hashing (ann.rcos6)
+        "vec_id", "neighbor_id", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -487,7 +488,8 @@ def q_embedding_near_pairs(spark, sf_dir):
         / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
     )
     return joined.select(
-        "id_lo", "id_hi", F.round(cos, 6).alias("cosine")
+        # + 0.0 normalizes a rounded -0.0 before hashing (ann.rcos6)
+        "id_lo", "id_hi", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     ).filter(F.col("cosine") >= 0.4)
 
 

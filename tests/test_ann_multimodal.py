@@ -898,3 +898,123 @@ class TestStreamingMediaDecode:
         run_stream()
         ids = sorted(r["media_id"] for r in spark.read.parquet(out_dir).collect())
         assert ids == [1, 2, 3], ids
+
+
+class TestIvfOracleContract:
+    def test_hot_cap_parity_vs_duckdb_oracle(self, spark, tmp_path):
+        """hot_cap is part of the differential spec: the oracle's
+        members-cap CTE (GROUP BY cell_id HAVING count(*) <= cap semi-join)
+        must reproduce the engine's capped candidacy row-for-row (ADVICE r4:
+        previously the cap had no SQL counterpart, so capped plans silently
+        left the hash-exact contract)."""
+        import duckdb
+        import pandas as pd
+
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+        from intraarchivededuplicator_spark.plans.oracle import (
+            sql_embedding_knn_ivf,
+        )
+
+        rows = _clustered_vectors()
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r.vec_id for r in rows],
+                "embedding": [
+                    np.array(r.embedding, dtype=np.float32) for r in rows
+                ],
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pdf.to_parquet(path)
+        n_cells, nprobe, cap = 4, 2, 10
+
+        emb = spark.read.parquet(path)
+        capped = sorted(
+            (r["vec_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_topk(
+                emb, k=3, n_cells=n_cells, nprobe=nprobe, hot_cap=cap
+            ).collect()
+        )
+        uncapped = sorted(
+            (r["vec_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_topk(emb, k=3, n_cells=n_cells, nprobe=nprobe).collect()
+        )
+        assert capped != uncapped  # the cap must actually bite here
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        from intraarchivededuplicator_spark.operators.ann import INT_SCALE
+
+        want = sorted(
+            map(tuple, con.sql(
+                sql_embedding_knn_ivf(
+                    INT_SCALE, k=3, n_cells=n_cells, nprobe=nprobe, hot_cap=cap
+                )
+            ).fetchall())
+        )
+        assert capped == want
+
+
+class TestNegativeZeroNormalization:
+    def test_rounded_negative_zero_ranks_and_hashes_as_plus_zero(
+        self, spark, tmp_path
+    ):
+        """A cosine whose 6-decimal rounding lands on -0.0 must come out of
+        BOTH engines as +0.0 (the `+ 0.0` normalization, ADVICE r4): the
+        driver's value hash distinguishes '-0.0' from '0.0', and a mixed
+        {-0.0, +0.0} candidate set could otherwise rank differently."""
+        import math
+
+        import duckdb
+        import pandas as pd
+
+        from intraarchivededuplicator_spark.operators.ivf import ivf_topk
+        from intraarchivededuplicator_spark.plans.oracle import (
+            sql_embedding_knn_ivf,
+        )
+
+        # scaled (INT_SCALE) vectors: v0=[1000000,1], v1=[1,-1000001],
+        # v2=[-1,1000001]. dot(v0,v1) = -1 -> cosine ~ -1e-12 -> round6
+        # = -0.0; dot(v0,v2) = +1 -> +0.0. One zero pair on each side of
+        # the sign exercises the tie normalization.
+        vecs = [
+            (0, [1.0, 1e-6]),
+            (1, [1e-6, -1.000001]),
+            (2, [-1e-6, 1.000001]),
+            (3, [0.9, 0.1]),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [v[0] for v in vecs],
+                "embedding": [np.array(v[1], dtype=np.float32) for v in vecs],
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pdf.to_parquet(path)
+
+        # nprobe == n_cells: exhaustive probing, so every pair is scored and
+        # the zero-cosine rows are guaranteed into the output window
+        got = sorted(
+            (r["vec_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_topk(
+                spark.read.parquet(path), k=3, n_cells=2, nprobe=2
+            ).collect()
+        )
+        zeros = [t for t in got if t[3] == 0.0]
+        assert zeros, "fixture must produce a rounded-zero cosine"
+        for t in zeros:
+            assert math.copysign(1.0, t[3]) == 1.0, f"-0.0 leaked: {t}"
+
+        from intraarchivededuplicator_spark.operators.ann import INT_SCALE
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        want = sorted(
+            map(tuple, con.sql(
+                sql_embedding_knn_ivf(INT_SCALE, k=3, n_cells=2, nprobe=2)
+            ).fetchall())
+        )
+        assert got == want
+        for t in want:
+            if t[3] == 0.0:
+                assert math.copysign(1.0, t[3]) == 1.0

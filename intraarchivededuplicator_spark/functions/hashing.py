@@ -373,9 +373,10 @@ def signatures_batch(
     With winnow_w set, returns two extra lists (win_interior, win_boundary):
     the winnow_split of each doc's positional shingle-hash sequence, the
     slim anchor universe for the containment leg (see winnow_split)."""
+    import pandas as pd  # local: keep module import pyspark/pandas-free
+
     a = np.array(params.a, dtype=np.int64)[:, None]
     b = np.array(params.b, dtype=np.int64)[:, None]
-    tok_memo: dict[str, int] = {}
     bit_idx = np.arange(64, dtype=np.uint64)[None, :]
     weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
     out_sim = np.zeros(len(texts), dtype=np.int64)
@@ -383,16 +384,38 @@ def signatures_batch(
     out_sh: list[list[int] | None] = []
     out_wint: list[list[int] | None] = []
     out_wbnd: list[list[int] | None] = []
+    # Batch token-hash kernel: tokenize every doc, factorize the flat token
+    # stream (one C-side hash pass), md5 each DISTINCT token exactly once,
+    # then gather per-doc hash arrays by offset. md5 stays the hash (the
+    # DuckDB oracle recomputes it), so this is bit-identical to hashing each
+    # token in a loop — it just drops the per-token Python dict work and
+    # bounds md5 calls at the batch's distinct-token count (Zipfian web text:
+    # ~2-6% of the token stream; measured in tools/token_dup_stats.py).
+    tok_lists = [tokenize(t) if isinstance(t, str) else [] for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    offs = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if offs[-1]:
+        flat = np.array(
+            [t for toks in tok_lists for t in toks], dtype=object
+        )
+        codes, uniq = pd.factorize(flat)
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        all_th = hv[codes]
+    else:
+        all_th = np.empty(0, dtype=np.uint64)
     for i, text in enumerate(texts):
-        toks = tokenize(text) if isinstance(text, str) else []
+        toks = tok_lists[i]
         n = len(toks)
-        th = np.empty(n, dtype=np.uint64)
-        for j, t in enumerate(toks):
-            h = tok_memo.get(t)
-            if h is None:
-                h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                tok_memo[t] = h
-            th[j] = h
+        th = all_th[offs[i]:offs[i + 1]]
         if n >= shingle_k_sim:
             feats = _shingle_mix(th, shingle_k_sim)
             uniq, counts = np.unique(feats, return_counts=True)

@@ -53,22 +53,30 @@ def make_hyperplane_udf(dim: int, n_planes: int = 64, seed: int = 42):
     input vector is scaled by INT_SCALE and rounded half-away-from-zero to
     match SQL round() semantics (numpy rounds half-to-even).
     """
-    planes = hyperplanes_int(dim, n_planes, seed)
+    planes_t = hyperplanes_int(dim, n_planes, seed).T  # (dim, n_planes)
     weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
 
     @F.pandas_udf(LongType())
     def hyperplane_sig(vecs: pd.Series) -> pd.Series:
-        out = np.empty(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
-            if v is None or len(v) != dim:
-                out[i] = 0
-            else:
-                x = np.asarray(v, dtype=np.float64) * INT_SCALE
-                xi = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
-                bits = (planes @ xi) >= 0
-                out[i] = np.int64(
-                    np.uint64((bits.astype(np.uint64) * weights).sum())
-                )
+        # ONE (m x dim) @ (dim x n_planes) int64 matmul per Arrow batch
+        # instead of a per-row matvec loop — the signature kernel is the
+        # 100-TB embedding path's hot spot, and the arithmetic is the exact
+        # same int64 fixed-point sign test bit-for-bit (pinned in
+        # tests/test_ann_multimodal.py::test_batch_kernel_bit_identical).
+        n = len(vecs)
+        out = np.zeros(n, dtype=np.int64)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool, count=n
+        )
+        if ok.any():
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            ) * INT_SCALE
+            # round half-away-from-zero to match SQL round() (numpy rounds
+            # half-to-even)
+            xi = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+            bits = (xi @ planes_t) >= 0  # (m, n_planes), exact int64 dots
+            out[ok] = (bits * weights[None, :]).sum(axis=1).view(np.int64)
         return pd.Series(out)
 
     return hyperplane_sig

@@ -268,3 +268,71 @@ class TestWinnowSplit:
         mins = sliding_window_view(seq, w).min(axis=1)
         assert set(wi.tolist()) | set(wb.tolist()) == set(np.unique(mins).tolist())
         assert set(wi.tolist()) == set(np.unique(mins[1:-1]).tolist())
+
+
+class TestSignaturesBatchKernel:
+    def test_factorized_kernel_matches_per_row_reference(self):
+        """signatures_batch's batched token-hash kernel (factorize the flat
+        token stream, md5 once per DISTINCT token, gather per doc by offset)
+        must be bit-identical to the per-row memo-dict reference (the r4
+        implementation, reconstructed here from the module's own shingle-mix
+        primitives) on a fuzzed mixed batch — including empty / whitespace /
+        non-string docs, so the offset bookkeeping is exercised at every
+        batch position."""
+        import hashlib
+
+        from intraarchivededuplicator_spark.functions.hashing import (
+            MINHASH_PRIME,
+            _shingle_mix,
+            signatures_batch,
+            tokenize,
+        )
+
+        rng = np.random.RandomState(77)
+        vocab = [f"w{i}" for i in range(40)] + ["日本語", "tøken", "a'b"]
+        texts: list = ["", "   \n ", None, "a b c"]
+        for _ in range(60):
+            n = rng.randint(0, 120)
+            texts.append(" ".join(vocab[j] for j in rng.randint(0, len(vocab), n)))
+        p = MinHashParams.make(k=16, seed=3)
+        k_shingle, k_sim = 5, 3
+        sim, mh, sh = signatures_batch(texts, k_shingle, p, shingle_k_sim=k_sim)
+
+        a = np.array(p.a, dtype=np.int64)[:, None]
+        b = np.array(p.b, dtype=np.int64)[:, None]
+        bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+        weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+        for i, text in enumerate(texts):
+            toks = tokenize(text) if isinstance(text, str) else []
+            th = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                    )
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            if len(toks) >= k_sim:
+                feats = _shingle_mix(th, k_sim)
+                uniq, counts = np.unique(feats, return_counts=True)
+                bits = ((uniq[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+                acc = 2 * (counts.astype(np.int64) @ bits) - counts.sum()
+                pos = acc > 0
+                u = int(np.sum(weights[pos[:63]], dtype=np.uint64))
+                if pos[63]:
+                    u -= 1 << 63
+                assert int(sim[i]) == u, i
+            else:
+                assert int(sim[i]) == 0, i
+            if len(toks) >= k_shingle:
+                h32 = (_shingle_mix(th, k_shingle) >> np.uint64(32)).astype(
+                    np.int64
+                )
+                uniq32 = np.unique(h32)
+                vals = (a * uniq32[None, :] + b) % MINHASH_PRIME
+                assert mh[i] == vals.min(axis=1).tolist(), i
+                assert sh[i] == uniq32.tolist(), i
+            else:
+                assert mh[i] is None and sh[i] is None, i

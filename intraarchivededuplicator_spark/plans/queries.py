@@ -106,6 +106,28 @@ def q_simhash_radius_search(spark, sf_dir):
     )
 
 
+def q_probe_session_search(spark, sf_dir):
+    """The resident-index service surface (engine/probe.ProbeSession, C4)
+    under the driver hash gate: same probe set and semantics as
+    q_simhash_radius_search, answered through the persisted band table's
+    batched shape instead of the per-call join operator — the two must be
+    row-identical (also pinned differentially in tests/test_probe_session),
+    so the radius-search oracle applies verbatim."""
+    from ..engine.probe import ProbeSession
+
+    d = docs_with_sig(spark, sf_dir)
+    sess = ProbeSession(
+        d, SEARCH_RADIUS, id_col="doc_id", sig_col="simhash"
+    )
+    probes = d.filter(F.col("doc_id") % 100 == 0).select("doc_id", "simhash")
+    out = sess.search_batch(probes, query_id="doc_id", query_sig="simhash")
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
 def q_simhash_clusters(spark, sf_dir):
     d = docs_with_sig(spark, sf_dir)
     pairs = banded_self_join(

@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
+        "media_near_dup_pairs_ivf": q.q_media_near_dup_pairs_ivf,
         "media_resized_dims": q.q_media_resized_dims,
         "media_frame_sample": q.q_media_frame_sample,
         # catalog mutation roundtrip (S6-S9, C5)
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": o.sql_deterministic_sample(),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
+        "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),
         "media_resized_dims": o.sql_media_resized_dims(),
         "media_frame_sample": o.sql_media_frame_sample(2),
         "catalog_merge_roundtrip": o.sql_catalog_merge_roundtrip(),

@@ -636,3 +636,41 @@ def media_near_dup_pairs(
         sig_udf(F.col("features").cast("array<double>")).alias("sig"),
     )
     return banded_self_join(sigged, "media_id", "sig", hamming_radius, n_bands=n_bands)
+
+
+def media_near_dup_pairs_ivf(
+    decoded: DataFrame,
+    threshold: float = 0.98,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    quantizer: str = "sampled",
+) -> DataFrame:
+    """(id_lo, id_hi, cosine): near-dup media routed through the IVF-flat
+    candidate generator instead of hyperplane LSH — the same decoded-feature
+    vectors, the second ANN scale path on the second modality. The two routes
+    are interchangeable on this query shape (pytest pins IVF == LSH == the
+    planted pair set); at 10^12 rows pick by corpus geometry — IVF when
+    features cluster (cells prune hard), LSH when they are near-uniform.
+
+    Exactness under the hash gate is a margin argument, same discipline as
+    the LSH twin (plans/queries.q_media_near_dup_pairs): planted duplicates
+    reuse payloads byte-for-byte, so their int-scaled feature vectors are
+    IDENTICAL — quantized to the same rank-1 cell (same-cell pairs are never
+    missed by ivf_near_pairs) with exact cosine 1.0 — while the measured max
+    NON-planted candidate cosine on the synth corpus is 0.603 (sf0.01) /
+    0.675 (sf0.1, distinct-seeds-give-distinct-features invariant). The 0.98
+    threshold sits >0.30 above every impostor and 0.02 below every dup."""
+    from ..operators.ivf import ivf_near_pairs
+
+    feats = decoded.filter(F.col("features").isNotNull()).select(
+        "media_id", "features"
+    )
+    return ivf_near_pairs(
+        feats,
+        threshold,
+        id_col="media_id",
+        vec_col="features",
+        n_cells=n_cells,
+        nprobe=nprobe,
+        quantizer=quantizer,
+    )

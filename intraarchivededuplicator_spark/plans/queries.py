@@ -919,6 +919,23 @@ def q_media_near_dup_pairs(spark, sf_dir):
     return media_near_dup_pairs(dec, hamming_radius=4).select("id_lo", "id_hi")
 
 
+def q_media_near_dup_pairs_ivf(spark, sf_dir):
+    """The IVF-routed twin of q_media_near_dup_pairs — same synthesize ->
+    decode(real) -> features front half, candidates via IVF cell probing
+    instead of hyperplane LSH (VERDICT r4 #6: IVF on a second modality).
+    Shares the planted-pair oracle: byte-identical planted payloads give
+    identical int-scaled features (same cell, exact cosine 1.0) while the
+    max non-planted candidate cosine measured on the synth corpus is 0.675,
+    so threshold 0.98 recovers exactly the arithmetic pair set — margin
+    argument in functions/multimodal.media_near_dup_pairs_ivf."""
+    from ..fixtures.synth import synthesize_media
+    from ..functions.multimodal import decode_media, media_near_dup_pairs_ivf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_media(synthesize_media(d, dup_stride=3), decode_backend="real")
+    return media_near_dup_pairs_ivf(dec, threshold=0.98).select("id_lo", "id_hi")
+
+
 def q_media_resized_dims(spark, sf_dir):
     """Resize stage under the hash gate: synthesize -> resize_media(10x9 /
     4000 Hz) -> decode(real). Composability is the point — resize outputs a

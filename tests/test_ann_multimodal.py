@@ -834,6 +834,45 @@ class TestMultimodal:
         pairs = media_near_dup_pairs(dec, hamming_radius=4).collect()
         assert {(p["id_lo"], p["id_hi"]) for p in pairs} == {(1, 2)}
 
+    def test_media_near_dup_ivf_route_matches_lsh_and_planted_set(self, spark):
+        """The IVF candidate route and the hyperplane-LSH route recover the
+        SAME pair set on the planted-duplicate synth corpus — and it is
+        exactly the arithmetic planted set (the oracle the driver gates
+        media_near_dup_pairs_ivf against). Planted payloads are byte-equal,
+        so their features quantize to the same cell (candidacy guaranteed)
+        with exact cosine 1.0; measured non-planted candidate cosines top
+        out ~0.68, well under the 0.98 threshold."""
+        from intraarchivededuplicator_spark.fixtures.synth import synthesize_media
+        from intraarchivededuplicator_spark.functions.multimodal import (
+            media_near_dup_pairs_ivf,
+        )
+
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        dec = decode_media(
+            synthesize_media(docs, dup_stride=3), decode_backend="real"
+        ).persist()
+        planted = {(i - 3, i) for i in range(3, 200) if i % 10 == 7}
+        lsh = {
+            (p["id_lo"], p["id_hi"])
+            for p in media_near_dup_pairs(dec, hamming_radius=4).collect()
+        }
+        ivf = {
+            (p["id_lo"], p["id_hi"])
+            for p in media_near_dup_pairs_ivf(dec, threshold=0.98).collect()
+        }
+        assert lsh == planted
+        assert ivf == planted
+        # the IVF route also holds under the Lloyd-refined quantizer — the
+        # (cell_id, cvec) swap-in contract leaves exactness untouched
+        km = {
+            (p["id_lo"], p["id_hi"])
+            for p in media_near_dup_pairs_ivf(
+                dec, threshold=0.98, quantizer="kmeans"
+            ).collect()
+        }
+        dec.unpersist()
+        assert km == planted
+
 
 class TestStreamingMediaDecode:
     """decode_media is a stateless mapInPandas stage, so the batch operator

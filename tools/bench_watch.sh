@@ -12,6 +12,9 @@ START=$(date +%s)
 while :; do
   [ $((($(date +%s) - START) / 60)) -ge "$MAX_MIN" ] && { echo "$(date +%T) time up, exit"; break; }
   if [ -f /tmp/builder_busy ]; then echo "$(date +%T) builder busy, skip"; sleep 540; continue; fi
+  # never contend with another Spark job (the round driver's bench/gate run,
+  # or a builder experiment): any other live JVM on the box means skip
+  if pgrep -x java >/dev/null 2>&1; then echo "$(date +%T) other JVM live, skip"; sleep 180; continue; fi
   RECORD=${RECORD:-BENCH/bench_r5_local.json}
   CUR=$(python -c "import json;print(json.load(open('$RECORD'))['value'])")
   awk -v c="$CUR" -v t="$TARGET_SEC" 'BEGIN{exit !(c<t)}' && { echo "$(date +%T) record $CUR < $TARGET_SEC, exit"; break; }

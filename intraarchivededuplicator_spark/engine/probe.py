@@ -103,6 +103,15 @@ class ProbeSession:
 
     def _swap(self, slim: DataFrame) -> None:
         old = self._bands
+        # Cut lineage BEFORE building: `slim` reads the outgoing snapshot, so
+        # without a checkpoint every mutation nests the previous snapshot's
+        # plan — O(mutations) Catalyst analysis cost per probe on a long-lived
+        # session, and a lost cache block would recompute through every prior
+        # snapshot. localCheckpoint materializes the slim (2-long-column) rows
+        # and roots the new band table at a LogicalRDD: constant plan depth
+        # per snapshot. The checkpoint blocks stay referenced by the new band
+        # table's lineage and are GC-freed with it (ContextCleaner).
+        slim = slim.localCheckpoint(eager=True)
         self._bands = self._build(slim)
         old.unpersist()
 
@@ -138,8 +147,13 @@ class ProbeSession:
         )
         # one id can collide in several bands (same exact distance each
         # time); dedup driver-side — a groupBy would add a whole shuffle
-        # stage to every probe for at most n_bands duplicate rows per match
-        return sorted({(r_["_id"], r_["distance"]) for r_ in rows})
+        # stage to every probe for at most n_bands duplicate rows per match.
+        # Nearest-first (distance, then id), per the contract above: result[0]
+        # must be the closest match, not the lowest id.
+        return sorted(
+            {(r_["_id"], r_["distance"]) for r_ in rows},
+            key=lambda t: (t[1], t[0]),
+        )
 
     def search_batch(
         self,

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from .ann import cosine, rcos6, scaled_vec
+from .ann import rcos6, scaled_vec
 
 
 def _scaled_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -121,7 +121,7 @@ def kmeans_centroids(
         cents_df = spark.createDataFrame(
             cents, "cell_id int, cvec array<bigint>"
         )
-        ccos = F.round(cosine(F.col("_v"), F.col("cvec")), 6) + F.lit(0.0)
+        ccos = rcos6(F.col("_v"), F.col("cvec"))
         # argmax cell per vector: max(struct) keeps the best (ccos, then
         # LOWEST cell_id on ties) without a window sort
         best = (
@@ -137,8 +137,16 @@ def kmeans_centroids(
             .agg(F.max("_s").alias("_s"))
             .select((-F.col("_s.nc")).cast("int").alias("cell_id"), "_v")
         )
+        # Exact long SUM / COUNT, not F.avg: avg(bigint) accumulates in a
+        # double, which is order-dependent (partitioning-dependent) once a
+        # cell's per-dimension sum passes 2^53 — breaking the determinism
+        # guarantee above. sum(bigint) is exact int64 (order-free); one
+        # double division of two exact values is then deterministic. Bound:
+        # |component| ~ INT_SCALE*|x| <~ 2^27, so int64 sum overflow needs
+        # > 2^36 members in one cell — unreachable for any sane n_cells.
+        cnt = F.count(F.lit(1))
         mean_cols = [
-            F.round(F.avg(F.col("_v")[i])).cast("long").alias(f"_m{i}")
+            F.round(F.sum(F.col("_v")[i]) / cnt).cast("long").alias(f"_m{i}")
             for i in range(dim)
         ]
         new_rows = best.groupBy("cell_id").agg(*mean_cols).collect()
@@ -178,7 +186,7 @@ def _ivf_candidates(
         raise ValueError(f"unknown quantizer {quantizer!r}")
     cents = spark.createDataFrame(rows, "cell_id int, cvec array<bigint>")
     # map-only quantization: n x n_cells slim rows out, vectors stay put
-    ccos = F.round(cosine(F.col("_v"), F.col("cvec")), 6) + F.lit(0.0)
+    ccos = rcos6(F.col("_v"), F.col("cvec"))
     assign = (
         vecs.join(F.broadcast(cents))
         .select("_id", "cell_id", ccos.alias("_ccos"))

@@ -120,12 +120,20 @@ def q_probe_session_search(spark, sf_dir):
         d, SEARCH_RADIUS, id_col="doc_id", sig_col="simhash"
     )
     probes = d.filter(F.col("doc_id") % 100 == 0).select("doc_id", "simhash")
-    out = sess.search_batch(probes, query_id="doc_id", query_sig="simhash")
-    return out.select(
+    out = sess.search_batch(
+        probes, query_id="doc_id", query_sig="simhash"
+    ).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("match_id").cast("long").alias("match_id"),
         F.col("distance").cast("int").alias("distance"),
     )
+    # Materialize the (small) probe result NOW so the session's corpus-sized
+    # band-table cache can be released before this function returns — the
+    # driver gate shares one Spark session across all queries, and a leaked
+    # MEMORY_AND_DISK band table would press on every later cache user.
+    out = out.localCheckpoint(eager=True)
+    sess.close()
+    return out
 
 
 def q_simhash_clusters(spark, sf_dir):

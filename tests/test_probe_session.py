@@ -113,6 +113,51 @@ def test_index_is_resident_and_mutation_swaps_snapshots(spark):
         s.close()
 
 
+def test_search_returns_nearest_first(spark):
+    # RPC contract: result[0] is the CLOSEST match — (distance, id) order,
+    # not id order. Plant a far match with a LOW id and an exact match with
+    # a HIGH id; id-first ordering would put (5, 3) first.
+    base = 0b1010_1100
+    corpus = spark.createDataFrame(
+        [(5, base ^ 0b0111), (9, base), (7, base ^ 0b1)],
+        "id long, sig long",
+    )
+    s = ProbeSession(corpus, radius=4, n_bands=8)
+    try:
+        assert s.search(base) == [(9, 0), (7, 1), (5, 3)]
+    finally:
+        s.close()
+
+
+def test_mutation_plan_depth_is_bounded(spark):
+    # Each insert/remove builds the new snapshot FROM the old one; without
+    # the lineage cut in _swap the band-table plan nests every prior
+    # snapshot and Catalyst analysis cost grows per mutation — the exact
+    # failure mode of a long-lived service. Pin: plan depth after the 6th
+    # mutation equals plan depth after the 1st.
+    corpus = spark.createDataFrame(
+        [(i, b2i(bits)) for i, bits in enumerate(TEST_DATA)], "id long, sig long"
+    )
+    s = ProbeSession(corpus, radius=4, n_bands=16)
+
+    def depth():
+        return len(
+            s._bands._jdf.queryExecution().analyzed().treeString().splitlines()
+        )
+
+    try:
+        s.insert(spark.createDataFrame([(100, 17)], "id long, sig long"))
+        d1 = depth()
+        for k in range(5):
+            s.insert(
+                spark.createDataFrame([(101 + k, 23 + k)], "id long, sig long")
+            )
+        assert depth() == d1
+        assert s.size() == len(TEST_DATA) + 6
+    finally:
+        s.close()
+
+
 def test_null_signatures_excluded(spark):
     corpus = spark.createDataFrame(
         [(0, 5), (1, None), (2, 5)], "id long, sig long"

@@ -16,7 +16,11 @@ while :; do
   # or a builder experiment): any other live JVM on the box means skip
   if pgrep -x java >/dev/null 2>&1; then echo "$(date +%T) other JVM live, skip"; sleep 180; continue; fi
   RECORD=${RECORD:-BENCH/bench_r5_local.json}
-  CUR=$(python -c "import json;print(json.load(open('$RECORD'))['value'])")
+  # Missing/unreadable record = "no record yet": sentinel keeps the watcher
+  # running (an empty CUR would awk-coerce to 0 and exit with a bogus
+  # "record met" before a single attempt).
+  CUR=$(python -c "import json;print(json.load(open('$RECORD'))['value'])" 2>/dev/null) || CUR=999999
+  [ -n "$CUR" ] || CUR=999999
   awk -v c="$CUR" -v t="$TARGET_SEC" 'BEGIN{exit !(c<t)}' && { echo "$(date +%T) record $CUR < $TARGET_SEC, exit"; break; }
   CANARY=$(python -c "
 import hashlib, time

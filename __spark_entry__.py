@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q.q_embedding_near_pairs,
         "embedding_near_pairs_ann": q.q_embedding_near_pairs_ann,
         "embedding_near_pairs_ivf": q.q_embedding_near_pairs_ivf,
+        "embedding_dup_clusters": q.q_embedding_dup_clusters,
         # masks + prefix scan (P3/P5)
         "source_prefix_scan": q.q_source_prefix_scan,
         "masked_match_candidates": q.q_masked_match_candidates,
@@ -180,6 +181,9 @@ def oracle_sql() -> dict[str, str]:
             EMB_DIM, EMB_SCALE, threshold=0.4, hamming_radius=28, n_bands=8
         ),
         "embedding_near_pairs_ivf": o.sql_embedding_near_pairs_ivf(
+            EMB_SCALE, threshold=0.4, n_cells=16, nprobe=4
+        ),
+        "embedding_dup_clusters": o.sql_embedding_dup_clusters(
             EMB_SCALE, threshold=0.4, n_cells=16, nprobe=4
         ),
         "source_prefix_scan": o.sql_source_prefix_scan("src1", K_SHINGLE),

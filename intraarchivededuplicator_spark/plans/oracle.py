@@ -768,6 +768,52 @@ FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
+def sql_embedding_dup_clusters(
+    scale: int,
+    threshold: float,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    hot_cap: int | None = None,
+) -> str:
+    """Oracle for the SemDeDup-style composition (plans/queries.
+    q_embedding_dup_clusters): the IVF near-pair edge set (identical
+    arithmetic to sql_embedding_near_pairs_ivf — candidacy is part of the
+    differential spec) closed into connected components via a recursive CTE,
+    exactly as sql_simhash_clusters does for Hamming space. Every vector
+    with a non-null, non-empty embedding gets a cluster id; singletons keep
+    their own id; cluster_id = min member id."""
+    return f"""
+WITH RECURSIVE {_cte_ivf(scale, n_cells, nprobe, hot_cap)},
+upairs AS (
+    SELECT least(qid, nid) AS ul, greatest(qid, nid) AS uh
+    FROM cand GROUP BY 1, 2
+),
+cdots AS (
+    SELECT p.ul, p.uh, sum(a.v * b.v)::BIGINT AS dot
+    FROM upairs p
+    JOIN ev a ON a.vec_id = p.ul
+    JOIN ev b ON b.vec_id = p.uh AND b.i = a.i
+    GROUP BY p.ul, p.uh
+),
+epairs AS (
+    SELECT d.ul, d.uh
+    FROM cdots d JOIN norms x ON d.ul = x.vec_id JOIN norms y ON d.uh = y.vec_id
+    WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}
+),
+ids AS (
+    SELECT vec_id FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+sym AS (SELECT ul AS u, uh AS v FROM epairs UNION SELECT uh, ul FROM epairs),
+reach (src, dst) AS (
+    SELECT vec_id, vec_id FROM ids
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+ORDER BY vec_id"""
+
+
 def sql_source_prefix_scan(prefix: str, k_shingle: int) -> str:
     return f"""
 SELECT doc_id, source, md5(text) AS text_hash

@@ -493,6 +493,31 @@ def q_embedding_near_pairs_ivf(spark, sf_dir):
     return ivf_near_pairs(e, threshold=0.4, n_cells=16, nprobe=4)
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic duplicate clusters: IVF-routed cosine
+    near-pairs (>= 0.4, same quantizer/config as q_embedding_near_pairs_ivf)
+    closed into connected components — the composition an LLM-data pipeline
+    consumes for keep-one-per-cluster semantic dedup. Every vector with a
+    non-null, non-empty embedding gets a cluster id (singletons = own id,
+    cluster_id = min member id), mirroring q_simhash_clusters' contract in
+    cosine space. At 10^12 vectors both legs are already scale-shaped: the
+    edge set comes from the inverted-list probe join (no all-pairs) and the
+    CC loop is the same alternating large-star/small-star used for text."""
+    from ..operators.cluster import assign_clusters
+    from ..operators.ivf import ivf_near_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = ivf_near_pairs(e, threshold=0.4, n_cells=16, nprobe=4)
+    # the id universe mirrors the oracle's `ids` CTE (and operators/ivf.
+    # _scaled_vecs): null/empty embeddings are absent from both plans
+    ids = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(F.col("vec_id").alias("id"))
+    return assign_clusters(ids, pairs).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
 def q_embedding_near_pairs_ann(spark, sf_dir):
     """ANN-routed near-pairs (cosine >= 0.4): the scale path twin of the
     O(n^2) q_embedding_near_pairs, which stays as the exactness oracle."""

@@ -90,3 +90,61 @@ def test_empty_edges(spark):
     e = spark.createDataFrame([], "id_lo long, id_hi long")
     got = {r["id"]: r["cluster_id"] for r in assign_clusters(ids, e).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_embedding_dup_clusters_composition(spark):
+    """Pin the SemDeDup composition (plans/queries.q_embedding_dup_clusters):
+    clusters of the IVF near-pair edge set == an independent driver-side
+    union-find over the SAME edges, with every non-null/non-empty-embedding
+    vector in the universe (singletons keep their own id). Uses clustered
+    synthetic vectors so the edge set is non-trivial, plus planted null and
+    empty embeddings that must be absent from the output — the same
+    universe contract the DuckDB oracle's `ids` CTE states."""
+    from pyspark.sql import Row
+
+    from intraarchivededuplicator_spark.operators.ivf import ivf_near_pairs
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in rng.standard_normal((6, 8)):
+        for _ in range(5):
+            v = c + 0.01 * rng.standard_normal(8)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    rows.append(Row(vec_id=vid, embedding=None))
+    rows.append(Row(vec_id=vid + 1, embedding=[]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = ivf_near_pairs(emb, threshold=0.9, n_cells=6, nprobe=2)
+    edges = [(r["id_lo"], r["id_hi"]) for r in pairs.collect()]
+    assert edges, "fixture must produce a non-trivial edge set"
+
+    universe = list(range(vid))  # null/empty rows excluded
+    parent = {v: v for v in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component over the full universe
+    comp = {}
+    for v in universe:
+        comp.setdefault(find(v), []).append(v)
+    expect = {v: min(members) for members in comp.values() for v in members}
+
+    clustered = assign_clusters(
+        emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        ).select(F.col("vec_id").alias("id")),
+        pairs,
+    )
+    got = {r["id"]: r["cluster_id"] for r in clustered.collect()}
+    assert got == expect
+    assert vid not in got and vid + 1 not in got

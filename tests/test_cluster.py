@@ -14,8 +14,16 @@ from intraarchivededuplicator_spark.operators.cluster import (
 )
 
 
-def cc_dict(edges_df):
-    return {r["id"]: r["cluster_id"] for r in connected_components(edges_df).collect()}
+def cc_dict(edges_df, **kw):
+    # default small_graph_cap=None so these tests keep pinning the
+    # DISTRIBUTED star loop (the default engine takes the driver-side
+    # union-find fast path below SMALL_GRAPH_CAP; its equivalence is pinned
+    # separately in test_small_graph_fast_path_matches_star_loop)
+    kw.setdefault("small_graph_cap", None)
+    return {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges_df, **kw).collect()
+    }
 
 
 def test_triangle(spark):
@@ -148,3 +156,36 @@ def test_embedding_dup_clusters_composition(spark):
     got = {r["id"]: r["cluster_id"] for r in clustered.collect()}
     assert got == expect
     assert vid not in got and vid + 1 not in got
+
+
+def test_small_graph_fast_path_matches_star_loop(spark):
+    """The driver-side union-find fast path (edge count <= small_graph_cap)
+    must emit exactly the star loop's output — same ids, same min-id cluster
+    representatives — on a random sparse graph with skew (one hot star plus
+    random edges plus a long path)."""
+    rng = np.random.RandomState(1234)
+    edges = [(0, i) for i in range(1, 60)]                      # hot star
+    edges += [(int(a), int(b)) for a, b in rng.randint(100, 500, size=(300, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(600, 680)]              # path
+    e = spark.createDataFrame(edges, "id_lo long, id_hi long")
+
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e).collect()  # default: fast path
+    }
+    loop = cc_dict(e)  # forced distributed star loop
+    assert fast == loop
+    assert len(fast) > 0
+
+
+def test_fast_path_gate_respects_cap(spark):
+    """With the cap below the edge count, the distributed loop must engage
+    (same answer either way; this pins the gate arithmetic, not semantics)."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_lo long, id_hi long"
+    )
+    capped = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e, small_graph_cap=5).collect()
+    }
+    assert capped == {i: 0 for i in range(21)}

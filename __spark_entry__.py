@@ -101,11 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "junk_flags": q.q_junk_flags,
         "text_quality": q.q_text_quality,
         # windows / relational coverage. NOTE: the r4 driver gated 50 of
-        # these 52 entries, skipping orders_by_priority_month and
-        # nation_revenue (both DO have oracle_sql entries below); their
-        # transport-strict oracle compare is pinned locally in
-        # tests/test_driver_gate_leftovers.py so the gate-vs-surface delta
-        # is documented, not drift.
+        # the then-52 entries (the surface is 55 as of r5), skipping
+        # orders_by_priority_month and nation_revenue (both DO have
+        # oracle_sql entries below); their transport-strict oracle compare
+        # is pinned locally in tests/test_driver_gate_leftovers.py so the
+        # gate-vs-surface delta is documented, not drift.
         "user_sessions": q.q_user_sessions,
         "events_hourly_rate": q.q_events_hourly_rate,
         "crawl_rate_hourly": q.q_crawl_rate_hourly,

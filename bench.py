@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash_signatures",
     "simhash_radius_pairs",
     "simhash_clusters",
+    "dedup_keep_list",
     "minhash_band_pairs",
     "exact_dup_groups",
     "containment_pairs",

@@ -138,6 +138,45 @@ reach (src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
 
 
+def sql_dedup_keep_list(radius: int, table: str = "documents", blacklist=(0,)) -> str:
+    """Oracle for plans/queries.q_dedup_keep_list: exact (md5 text) and near
+    (SimHash Hamming <= radius, degenerate-blacklisted) duplicate edges closed
+    into connected components via a recursive CTE; the min-id member of each
+    cluster is kept, the rest drop with reason 'exact_dup' when a smaller-id
+    byte-identical twin exists anywhere, else 'near_dup'. The h_min window
+    mirrors the engine's NULL-safe text_hash grouping."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH RECURSIVE {cte_simhash(table)},
+ex AS (SELECT doc_id, md5(text) AS text_hash FROM {table}),
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+    UNION
+    SELECT x.doc_id, y.doc_id
+    FROM ex x JOIN ex y ON x.doc_id < y.doc_id AND x.text_hash = y.text_hash
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach (src, dst) AS (
+    SELECT doc_id, doc_id FROM sh
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+exf AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text_hash) AS h_min FROM ex
+)
+SELECT c.doc_id, c.cluster_id,
+       (c.doc_id = c.cluster_id) AS keep,
+       CASE WHEN c.doc_id = c.cluster_id THEN 'kept'
+            WHEN e.h_min < c.doc_id THEN 'exact_dup'
+            ELSE 'near_dup' END AS reason
+FROM cl c JOIN exf e ON c.doc_id = e.doc_id
+ORDER BY c.doc_id"""
+
+
 def sql_simhash_hot_bands(
     n_bands: int, threshold: int, table: str = "documents", blacklist=(0,)
 ) -> str:

@@ -20,7 +20,7 @@ from ..functions.udfs import make_min_shingle_udf, make_minhash_udf, simhash64_u
 from ..operators.banded_join import banded_radius_search, banded_self_join
 from ..operators.cluster import assign_clusters
 from ..operators.containment import containment_pairs
-from ..operators.exact import duplicate_hash_groups, with_text_hash
+from ..operators.exact import duplicate_hash_groups, exact_pairs, with_text_hash
 from ..operators.lsh import minhash_candidate_pairs
 
 # shared config for the oracle-checked queries (FIXTURES.md golden config,
@@ -144,6 +144,47 @@ def q_simhash_clusters(spark, sf_dir):
     return (
         assign_clusters(d.select(F.col("doc_id").alias("id")), pairs)
         .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """C1 decision surface as a gated table: the per-doc keep/drop verdict an
+    LLM-data pipeline consumes. Exact (md5 text hash) and near (banded
+    SimHash, r=SIMHASH_RADIUS) duplicate edges are closed into connected
+    components; the min-id representative of each cluster is kept, the rest
+    drop with a reason — 'exact_dup' when a smaller-id byte-identical twin
+    exists anywhere in the corpus, else 'near_dup'. Mirrors the flagship
+    dedup_pipeline decision rule (engine/pipeline.py, reference dedup verdict
+    /root/reference/deduplicator/ProcessArchive.py:250-320) minus the
+    containment leg, which is gated separately (containment_pairs) and
+    exercised in entry(). At 10^12 docs both edge legs are the scale-shaped
+    plans (hash-groupBy / banded join, no all-pairs) and the h_min window
+    shuffles once on text_hash, the same key the exact leg already hashed."""
+    d = with_text_hash(docs_with_sig(spark, sf_dir))
+    near = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    )
+    ex = exact_pairs(d, "doc_id", "text_hash")
+    edges = ex.select("id_lo", "id_hi").unionByName(near.select("id_lo", "id_hi"))
+    clusters = assign_clusters(d.select(F.col("doc_id").alias("id")), edges)
+    # min doc_id per exact-hash group via a window (not groupBy+equi-join) so
+    # a NULL text_hash row would stay in the output on both engines
+    flagged = d.select("doc_id", "text_hash").withColumn(
+        "h_min", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    keep = F.col("doc_id") == F.col("cluster_id")
+    return (
+        clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(flagged, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            keep.alias("keep"),
+            F.when(keep, F.lit("kept"))
+            .when(F.col("h_min") < F.col("doc_id"), F.lit("exact_dup"))
+            .otherwise(F.lit("near_dup"))
+            .alias("reason"),
+        )
     )
 
 

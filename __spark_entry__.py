@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_session_search": q.q_probe_session_search,
         "near_pairs_within_horizon": q.q_near_pairs_within_horizon,
         "stream_near_dedup_replay": q.q_stream_near_dedup_replay,
+        "stream_exact_dedup_replay": q.q_stream_exact_dedup_replay,
         "simhash_clusters": q.q_simhash_clusters,
         "dedup_keep_list": q.q_dedup_keep_list,
         "simhash_hot_bands": q.q_simhash_hot_bands,
@@ -141,6 +142,9 @@ def oracle_sql() -> dict[str, str]:
         # identical oracle applies to the real applyInPandasWithState run
         "stream_near_dedup_replay": o.sql_near_pairs_within_horizon(
             SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
+        ),
+        "stream_exact_dedup_replay": o.sql_stream_exact_dedup(
+            q.NEAR_HORIZON_SEC
         ),
         "simhash_radius_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         # ProbeSession's batched shape is row-identical to the join-based

@@ -177,6 +177,29 @@ FROM cl c JOIN exf e ON c.doc_id = e.doc_id
 ORDER BY c.doc_id"""
 
 
+def sql_stream_exact_dedup(horizon_sec: int, table: str = "documents") -> str:
+    """Oracle for the streaming exact-dedup replay (plans/queries.
+    q_stream_exact_dedup_replay): a doc survives iff it is the first arrival
+    of its md5 text hash, or the event-time gap from the PREVIOUS same-hash
+    arrival exceeds the horizon (every arrival — emitted or suppressed —
+    renews the suppression window, so the rule is one lag() window, no
+    recursion). Event time = doc_id * 61 s, as in the near-dedup replay."""
+    return f"""
+WITH ex AS (
+    SELECT doc_id, md5(text) AS text_hash, (doc_id * 61)::BIGINT AS ts_sec
+    FROM {table} WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, text_hash, ts_sec,
+           lag(ts_sec) OVER (PARTITION BY text_hash ORDER BY ts_sec, doc_id)
+               AS prev_ts
+    FROM ex
+)
+SELECT doc_id, text_hash, ts_sec FROM g
+WHERE prev_ts IS NULL OR ts_sec - prev_ts > {horizon_sec}
+ORDER BY doc_id"""
+
+
 def sql_simhash_hot_bands(
     n_bands: int, threshold: int, table: str = "documents", blacklist=(0,)
 ) -> str:

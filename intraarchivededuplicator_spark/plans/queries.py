@@ -1269,9 +1269,13 @@ def q_stream_near_dedup_replay(spark, sf_dir):
     from ..streaming.near_dedup_stream import stream_simhash_near_pairs
 
     d = load(spark, sf_dir, "documents")
+    # +86400 s: doc 0 at epoch 0 equals the stream's INITIAL watermark and
+    # would be filtered as late by the state operator (a pair involving doc 0
+    # would silently vanish); the shift cancels in every horizon delta and is
+    # subtracted from pair_ts on the way out.
     pages = d.select(
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
-        F.timestamp_seconds(F.col("doc_id") * 61).alias("warc_ts"),
+        F.timestamp_seconds(F.col("doc_id") * 61 + 86400).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         "text",
         F.col("lang"),
@@ -1301,5 +1305,60 @@ def q_stream_near_dedup_replay(spark, sf_dir):
         F.col("url_lo").cast("long").alias("id_lo"),
         F.col("url_hi").cast("long").alias("id_hi"),
         F.col("distance").cast("int").alias("distance"),
-        F.col("pair_ts").cast("long").alias("pair_ts_sec"),
+        (F.col("pair_ts").cast("long") - 86400).alias("pair_ts_sec"),
+    )
+
+
+def q_stream_exact_dedup_replay(spark, sf_dir):
+    """The STATEFUL STREAMING exact-dedup operator under the hash gate: the
+    streaming twin of the exact leg (operators/exact, J1/J3), run as a real
+    availableNow Structured Streaming query (applyInPandasWithState keyed by
+    text_hash) over documents replayed as a pages landing zone. Event time is
+    the same doc_id * 61 s synthesis the near-dedup replay uses; survivors
+    follow the deterministic lag() rule (emit iff first of hash, or gap from
+    the previous same-hash arrival > horizon), so the DuckDB window oracle
+    recomputes the set exactly. The landing is written as ONE file so the
+    replay is a single ordered micro-batch (the rule's arrival-order premise);
+    multi-batch equivalence is pinned in tests/test_streaming_exact_dedup.py."""
+    import tempfile
+
+    from ..streaming.exact_dedup_stream import stream_exact_dedup
+    from ..streaming.ingest_stream import PAGES_SCHEMA
+
+    d = load(spark, sf_dir, "documents")
+    # +86400 s shifts doc 0 off epoch 0: an event time equal to the stream's
+    # INITIAL watermark (0 ms) is filtered as late by the state operator, so
+    # the synthetic clock starts a day in; the shift cancels in every gap the
+    # survivor rule evaluates and is subtracted when mapping back below.
+    pages = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 61 + 86400).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.col("lang"),
+    )
+    landing = tempfile.mkdtemp(prefix="sed_land_")
+    out_dir = tempfile.mkdtemp(prefix="sed_out_")
+    ckpt = tempfile.mkdtemp(prefix="sed_ckpt_")
+    pages.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(landing)
+    q = (
+        stream_exact_dedup(
+            stream,
+            watermark="48 hours",
+            horizon=f"{NEAR_HORIZON_SEC} seconds",
+            extract=False,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "text_hash",
+        (F.col("warc_ts").cast("long") - 86400).alias("ts_sec"),
     )

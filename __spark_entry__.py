@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_top_terms": q.q_lang_top_terms,
         "langid_heuristic": q.q_langid_heuristic,
         "doc_fingerprint": q.q_doc_fingerprint,
+        "contamination_overlap": q.q_contamination_overlap,
+        "doc_repetition_stats": q.q_doc_repetition_stats,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,
@@ -175,6 +177,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_top_terms": o.sql_lang_top_terms(),
         "langid_heuristic": o.sql_langid_heuristic(LANG_MARKERS),
         "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),
+        "contamination_overlap": o.sql_contamination_overlap(
+            K_SHINGLE, q.CONTAM_PROBE_MOD
+        ),
+        "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

@@ -48,6 +48,8 @@ HEADLINE = [
     "embedding_near_pairs_ann",
     "embedding_near_pairs_ivf",
     "doc_stats",
+    "doc_repetition_stats",
+    "contamination_overlap",
     "token_stats_bpe",
     "langid_heuristic",
     "user_sessions",

@@ -250,6 +250,59 @@ shing AS (
 )"""
 
 
+def sql_contamination_overlap(
+    k: int, probe_mod: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_contamination_overlap: corpus docs sharing
+    >= 1 distinct k-token shingle with any probe (doc_id % probe_mod == 0)
+    doc, with the distinct shared-shingle count; self excluded."""
+    return f"""
+WITH {cte_shingles(k, table)},
+cs AS (SELECT DISTINCT doc_id, s FROM shing),
+ps AS (
+    SELECT DISTINCT doc_id AS probe_id, s FROM shing
+    WHERE doc_id % {probe_mod} = 0
+)
+SELECT cs.doc_id AS corpus_id, ps.probe_id, count(*)::BIGINT AS n_shared
+FROM cs JOIN ps ON cs.s = ps.s AND cs.doc_id <> ps.probe_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sql_doc_repetition_stats(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_doc_repetition_stats: per-doc Gopher-style
+    repetition signals — top 2-gram occurrence fraction and the fraction of
+    3-gram occurrences whose gram repeats; docs with no 3-gram omitted."""
+    return f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+g2 AS (
+    SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS g
+    FROM toklist, unnest(generate_series(1, len(tl) - 1)) AS r(i)
+),
+g3 AS (
+    SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS g
+    FROM toklist, unnest(generate_series(1, len(tl) - 2)) AS r(i)
+),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM g2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM g3 GROUP BY 1, 2),
+s2 AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_2grams,
+           round(max(cnt)::DOUBLE / sum(cnt), 6) + 0.0 AS top_2gram_frac
+    FROM c2 GROUP BY doc_id
+),
+s3 AS (
+    SELECT doc_id,
+           round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt), 6) + 0.0 AS dup_3gram_frac
+    FROM c3 GROUP BY doc_id
+)
+SELECT s2.doc_id, n_2grams, top_2gram_frac, dup_3gram_frac
+FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id"""
+
+
 def sql_minhash_long(params: MinHashParams, k_shingle: int, table: str = "documents") -> str:
     """(doc_id, i, v) long-format MinHash signature; docs w/o shingles omitted."""
     vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(params.a, params.b)))

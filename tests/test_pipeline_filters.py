@@ -1,0 +1,71 @@
+"""Pin the LLM-pipeline filter queries on planted corpora where the expected
+values are hand-computable: contamination_overlap (decontamination n-gram
+check) and doc_repetition_stats (Gopher-style repetition signals)."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from intraarchivededuplicator_spark.plans.queries import (  # noqa: E402
+    CONTAM_PROBE_MOD,
+    K_SHINGLE,
+    q_contamination_overlap,
+    q_doc_repetition_stats,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_contamination_overlap_planted(spark, tmp_path):
+    """Probe doc 0 (0 % 11 == 0) shares an exact K_SHINGLE-token run with
+    corpus doc 1 (one shared shingle) and a longer run with doc 2 (three
+    shared shingles, distinct-counted once each); doc 3 shares nothing;
+    doc 4 is shorter than K_SHINGLE tokens and can never appear. Probe
+    self-rows are excluded. Note 11 % 11 == 0 would make doc 11 a probe —
+    ids stay below CONTAM_PROBE_MOD except the probe itself."""
+    assert CONTAM_PROBE_MOD == 11 and K_SHINGLE == 5
+    run5 = "p1 p2 p3 p4 p5"            # one shared 5-shingle
+    run7 = "q1 q2 q3 q4 q5 q6 q7"      # 7 tokens -> 3 shared 5-shingles
+    rows = [
+        (0, f"{run5} z1 z2 {run7}", "en"),            # the probe
+        (1, f"a1 a2 {run5} a3 a4", "en"),
+        (2, f"b1 {run7} b2", "en"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8", "en"),
+        (4, "d1 d2 d3", "en"),                         # < K_SHINGLE tokens
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["corpus_id"], r["probe_id"]): r["n_shared"]
+        for r in q_contamination_overlap(spark, sf_dir).collect()
+    }
+    assert got == {(1, 0): 1, (2, 0): 3}
+
+
+def test_doc_repetition_stats_planted(spark, tmp_path):
+    """doc 0 'a b a b a b': 2-grams {a b: 3, b a: 2} -> n=5, top=0.6;
+    3-grams {a b a: 2, b a b: 2} -> every occurrence repeated -> dup=1.0.
+    doc 1 all-distinct tokens: top 2-gram frac = 1/5, dup 3-gram frac = 0.
+    doc 2 has only two tokens (no 3-gram) and is omitted."""
+    rows = [
+        (0, "a b a b a b", "en"),
+        (1, "t1 t2 t3 t4 t5 t6", "en"),
+        (2, "x y", "en"),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_2grams"], r["top_2gram_frac"], r["dup_3gram_frac"])
+        for r in q_doc_repetition_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] == (5, 0.6, 1.0)
+    assert got[1] == (5, 0.2, 0.0)

@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": q.q_langid_heuristic,
         "doc_fingerprint": q.q_doc_fingerprint,
         "contamination_overlap": q.q_contamination_overlap,
+        "url_canonicalize": q.q_url_canonicalize,
         "doc_repetition_stats": q.q_doc_repetition_stats,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
             K_SHINGLE, q.CONTAM_PROBE_MOD
         ),
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
+        "url_canonicalize": o.sql_url_canonicalize(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

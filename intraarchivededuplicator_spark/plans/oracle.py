@@ -250,6 +250,52 @@ shing AS (
 )"""
 
 
+def sql_url_canonicalize(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_url_canonicalize: same arithmetic URL
+    synthesis, INDEPENDENT canonicalization via DuckDB RE2 (note '\\1'
+    backreferences and the 'g' flag vs Spark's '$1'/replace-all default)."""
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           (doc_id - doc_id % 4) AS base,
+           'site' || ((doc_id - doc_id % 4) % 20)::VARCHAR || '.example.com'
+               AS lhost,
+           '/Docs/' || (doc_id - doc_id % 4)::VARCHAR AS path
+    FROM {table}
+),
+u0 AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN 'http://' || lhost || path
+               WHEN 1 THEN 'https://' || lhost || path || '/'
+               WHEN 2 THEN 'http://' || lhost || ':80' || path || '#sec2'
+               ELSE 'http://' || upper(lhost) || path
+                    || '?utm_source=feed&utm_medium=rss'
+           END AS url
+    FROM raw
+),
+c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u0),
+c2 AS (SELECT doc_id, url, regexp_replace(u, '(?i)^https?://', 'http://') AS u FROM c1),
+c3 AS (SELECT doc_id, url,
+              regexp_replace(u, '[?&]utm_[A-Za-z0-9_]+=[^&#]*', '', 'g') AS u
+       FROM c2),
+c4 AS (SELECT doc_id, url, regexp_replace(u, '\\?&', '?') AS u FROM c3),
+c5 AS (SELECT doc_id, url, regexp_replace(u, '^([^?&]*)&', '\\1?') AS u FROM c4),
+c6 AS (SELECT doc_id, url, regexp_replace(u, '[?&]$', '') AS u FROM c5),
+c7 AS (
+    SELECT doc_id, url,
+           'http://'
+           || regexp_replace(
+                  lower(regexp_extract(u, '^http://([^/?#]*)', 1)), ':80$', '')
+           || regexp_replace(u, '^http://[^/?#]*', '') AS u
+    FROM c6
+),
+c8 AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical_url FROM c7)
+SELECT doc_id, url, canonical_url,
+       min(doc_id) OVER (PARTITION BY canonical_url) AS group_min_id
+FROM c8 ORDER BY doc_id"""
+
+
 def sql_contamination_overlap(
     k: int, probe_mod: int, table: str = "documents"
 ) -> str:

@@ -456,6 +456,51 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/urlnorm.canonical_url) under the hash
+    gate, with spelling variants planted BY CONSTRUCTION (the junk_flags
+    discipline): each run of 4 consecutive doc_ids is the same logical page
+    spelled 4 ways — plain http; https + trailing slash; explicit :80 +
+    fragment; uppercase host + utm params. Both engines synthesize the same
+    raw strings arithmetically; canonicalization is implemented INDEPENDENTLY
+    (Spark column algebra vs DuckDB RE2), so the differential pins the whole
+    regex pipeline. group_min_id shows the induced grouping (each group of 4
+    collapses to its base id). Map-only JVM plan: zero shuffles except the
+    grouping window, which a real pipeline would replace with the
+    hash-groupBy it already pays for exact dedup."""
+    from ..functions.urlnorm import canonical_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") - F.col("doc_id") % 4).cast("long")
+    lhost = F.concat(
+        F.lit("site"), (base % 20).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/Docs/"), base.cast("string"))
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://"), lhost, path))
+        .when(m == 1, F.concat(F.lit("https://"), lhost, path, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("http://"), lhost, F.lit(":80"), path, F.lit("#sec2")))
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.upper(lhost), path,
+                F.lit("?utm_source=feed&utm_medium=rss"),
+            )
+        )
+    )
+    out = d.select("doc_id", url.alias("url")).withColumn(
+        "canonical_url", canonical_url(F.col("url"))
+    )
+    return out.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.min("doc_id").over(Window.partitionBy("canonical_url")).alias(
+            "group_min_id"
+        ),
+    )
+
+
 CONTAM_PROBE_MOD = 11  # benchmark set = doc_id % 11 == 0 (~9% of the corpus)
 
 

@@ -69,3 +69,54 @@ def test_doc_repetition_stats_planted(spark, tmp_path):
     assert set(got) == {0, 1}
     assert got[0] == (5, 0.6, 1.0)
     assert got[1] == (5, 0.2, 0.0)
+
+
+def test_canonical_url_stacked_corners(spark):
+    """Pin canonical_url on inputs that stack MULTIPLE variants at once and
+    on the separator-repair corners the gated plant (one variant per row)
+    cannot reach: utm-first + kept param, utm-only, utm-last, fragment after
+    query, https + :80 + uppercase + trailing slash together."""
+    from intraarchivededuplicator_spark.functions.urlnorm import canonical_url
+
+    cases = [
+        # everything at once
+        ("HTTPS://WWW.Ex.COM:80/A/B/?utm_source=x#frag",
+         "http://www.ex.com/A/B"),
+        # utm first, real param kept: '&b=2' promoted to '?b=2'
+        ("http://ex.com/p?utm_a=1&b=2", "http://ex.com/p?b=2"),
+        # utm only -> bare path
+        ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
+        # utm last after a kept param
+        ("http://ex.com/p?b=2&utm_a=1", "http://ex.com/p?b=2"),
+        # fragment strips before anything else
+        ("http://ex.com/p?b=2#sec?utm_a=1", "http://ex.com/p?b=2"),
+        # path case preserved; :80 only dropped at end of authority
+        ("http://Ex.Com/Path:80/X", "http://ex.com/Path:80/X"),
+        # no-op
+        ("http://ex.com/p?b=2", "http://ex.com/p?b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    ).select("i", canonical_url(F.col("url")).alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+    import duckdb
+
+    from intraarchivededuplicator_spark.plans import oracle as o
+
+    # the oracle's RE2 pipeline must agree on the same stacked corners:
+    # lift its c1..c8 chain by substituting a VALUES table for u0
+    sql = o.sql_url_canonicalize()
+    head, tail = sql.split("c1 AS", 1)
+    vals = ", ".join(
+        f"({i}, '{u}')" for i, (u, _) in enumerate(cases)
+    )
+    lifted = (
+        f"WITH u0(doc_id, url) AS (VALUES {vals}),\nc1 AS" + tail
+    )
+    con = duckdb.connect(":memory:")
+    rows = con.execute(lifted).fetchall()
+    for i, _, c, _ in rows:
+        assert c == cases[i][1], (i, cases[i][0], c)

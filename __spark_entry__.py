@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q.q_doc_fingerprint,
         "contamination_overlap": q.q_contamination_overlap,
         "url_canonicalize": q.q_url_canonicalize,
+        "url_latest_snapshot": q.q_url_latest_snapshot,
         "doc_repetition_stats": q.q_doc_repetition_stats,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "url_canonicalize": o.sql_url_canonicalize(),
+        "url_latest_snapshot": o.sql_url_latest_snapshot(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

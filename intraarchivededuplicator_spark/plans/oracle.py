@@ -250,12 +250,13 @@ shing AS (
 )"""
 
 
-def sql_url_canonicalize(table: str = "documents") -> str:
-    """Oracle for plans/queries.q_url_canonicalize: same arithmetic URL
-    synthesis, INDEPENDENT canonicalization via DuckDB RE2 (note '\\1'
-    backreferences and the 'g' flag vs Spark's '$1'/replace-all default)."""
-    return f"""
-WITH raw AS (
+# Shared URL plant (queries.py _planted_urls twin) and RE2 canonicalization
+# chain for the url_* oracle family. The chain re-implements
+# functions/urlnorm.canonical_url INDEPENDENTLY (note '\\1' backreferences
+# and the explicit 'g' flag vs Spark's '$1'/replace-all default); c8 emits
+# (doc_id, url, canonical_url).
+def _url_plant(table: str) -> str:
+    return f"""raw AS (
     SELECT doc_id,
            (doc_id - doc_id % 4) AS base,
            'site' || ((doc_id - doc_id % 4) % 20)::VARCHAR || '.example.com'
@@ -273,8 +274,10 @@ u0 AS (
                     || '?utm_source=feed&utm_medium=rss'
            END AS url
     FROM raw
-),
-c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u0),
+)"""
+
+
+_URL_CANON_CHAIN = """c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u0),
 c2 AS (SELECT doc_id, url, regexp_replace(u, '(?i)^https?://', 'http://') AS u FROM c1),
 c3 AS (SELECT doc_id, url,
               regexp_replace(u, '[?&]utm_[A-Za-z0-9_]+=[^&#]*', '', 'g') AS u
@@ -290,10 +293,46 @@ c7 AS (
            || regexp_replace(u, '^http://[^/?#]*', '') AS u
     FROM c6
 ),
-c8 AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical_url FROM c7)
+c8 AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canonical_url FROM c7)"""
+
+
+def sql_url_canonicalize(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_url_canonicalize: same arithmetic URL
+    synthesis (_url_plant), independent RE2 canonicalization
+    (_URL_CANON_CHAIN)."""
+    return f"""
+WITH {_url_plant(table)},
+{_URL_CANON_CHAIN}
 SELECT doc_id, url, canonical_url,
        min(doc_id) OVER (PARTITION BY canonical_url) AS group_min_id
 FROM c8 ORDER BY doc_id"""
+
+
+def sql_url_latest_snapshot(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_url_latest_snapshot: same plant + chain,
+    argmax via row_number (vs the engine's max(struct) — independent
+    formulation of the same reduction)."""
+    return f"""
+WITH {_url_plant(table)},
+{_URL_CANON_CHAIN},
+p AS (
+    SELECT doc_id, canonical_url,
+           ((doc_id - doc_id % 4) * 61
+            + ((doc_id // 4 + (doc_id % 4) * 3) % 4) * 13 + 86400)::BIGINT
+               AS ts_sec
+    FROM c8
+),
+w AS (
+    SELECT canonical_url, doc_id, ts_sec,
+           row_number() OVER (
+               PARTITION BY canonical_url
+               ORDER BY ts_sec DESC, doc_id DESC) AS rn,
+           count(*) OVER (PARTITION BY canonical_url) AS n_captures
+    FROM p
+)
+SELECT canonical_url, n_captures,
+       doc_id AS latest_doc_id, ts_sec AS latest_ts_sec
+FROM w WHERE rn = 1 ORDER BY canonical_url"""
 
 
 def sql_contamination_overlap(

@@ -456,21 +456,12 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
-def q_url_canonicalize(spark, sf_dir):
-    """URL canonicalization (functions/urlnorm.canonical_url) under the hash
-    gate, with spelling variants planted BY CONSTRUCTION (the junk_flags
-    discipline): each run of 4 consecutive doc_ids is the same logical page
-    spelled 4 ways — plain http; https + trailing slash; explicit :80 +
-    fragment; uppercase host + utm params. Both engines synthesize the same
-    raw strings arithmetically; canonicalization is implemented INDEPENDENTLY
-    (Spark column algebra vs DuckDB RE2), so the differential pins the whole
-    regex pipeline. group_min_id shows the induced grouping (each group of 4
-    collapses to its base id). Map-only JVM plan: zero shuffles except the
-    grouping window, which a real pipeline would replace with the
-    hash-groupBy it already pays for exact dedup."""
-    from ..functions.urlnorm import canonical_url
-
-    d = load(spark, sf_dir, "documents").select("doc_id")
+def _planted_urls(d):
+    """Shared URL plant for the url_* query family: each run of 4
+    consecutive doc_ids is the SAME logical page spelled 4 ways — plain
+    http; https + trailing slash; explicit :80 + fragment; uppercase host +
+    utm params. Arithmetic-only so the DuckDB oracles synthesize the
+    identical raw strings (oracle.py _URL_PLANT)."""
     base = (F.col("doc_id") - F.col("doc_id") % 4).cast("long")
     lhost = F.concat(
         F.lit("site"), (base % 20).cast("string"), F.lit(".example.com")
@@ -488,7 +479,23 @@ def q_url_canonicalize(spark, sf_dir):
             )
         )
     )
-    out = d.select("doc_id", url.alias("url")).withColumn(
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/urlnorm.canonical_url) under the hash
+    gate, with spelling variants planted BY CONSTRUCTION (the junk_flags
+    discipline): see _planted_urls. Both engines synthesize the same raw
+    strings arithmetically; canonicalization is implemented INDEPENDENTLY
+    (Spark column algebra vs DuckDB RE2), so the differential pins the whole
+    regex pipeline. group_min_id shows the induced grouping (each group of 4
+    collapses to its base id). Map-only JVM plan: zero shuffles except the
+    grouping window, which a real pipeline would replace with the
+    hash-groupBy it already pays for exact dedup."""
+    from ..functions.urlnorm import canonical_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out = _planted_urls(d).withColumn(
         "canonical_url", canonical_url(F.col("url"))
     )
     return out.select(
@@ -498,6 +505,54 @@ def q_url_canonicalize(spark, sf_dir):
         F.min("doc_id").over(Window.partitionBy("canonical_url")).alias(
             "group_min_id"
         ),
+    )
+
+
+def q_url_latest_snapshot(spark, sf_dir):
+    """Latest-capture-per-page: the first reduction a Common-Crawl-style
+    ingest applies after URL canonicalization — a crawl holds many captures
+    (warc_ts) of the same logical page; downstream dedup wants exactly one,
+    the newest. Composes _planted_urls + canonical_url with a synthesized
+    capture time ts_sec = base*61 + ((g + 3m) % 4)*13 + 86400 where
+    g = doc_id >> 2 (group index) and m = doc_id % 4 (spelling): 3 is
+    coprime to 4, so within a group the offsets are a bijection (no ties),
+    and the g term rotates which spelling wins per group — the argmax is
+    exercised on every variant, not constantly the last one.
+
+    Plan shape: map-only plant + ONE partial-aggregated groupBy using
+    max(struct(ts_sec, doc_id)) as the argmax — a single exchange on the
+    dedup key, no window, no join; at 10^12 docs this is the same shuffle
+    the exact-dedup hash-groupBy already pays. Epoch seconds stay BIGINT
+    end-to-end (TZ-free, the pair_ts_sec discipline)."""
+    from ..functions.urlnorm import canonical_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") - F.col("doc_id") % 4).cast("long")
+    pages = (
+        _planted_urls(d)
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn(
+            "ts_sec",
+            (
+                base * 61
+                + (
+                    (F.shiftright(F.col("doc_id"), 2) + (F.col("doc_id") % 4) * 3)
+                    % 4
+                )
+                * 13
+                + 86400
+            ).cast("long"),
+        )
+    )
+    agg = pages.groupBy("canonical_url").agg(
+        F.count("*").alias("n_captures"),
+        F.max(F.struct(F.col("ts_sec"), F.col("doc_id"))).alias("mx"),
+    )
+    return agg.select(
+        "canonical_url",
+        "n_captures",
+        F.col("mx.doc_id").alias("latest_doc_id"),
+        F.col("mx.ts_sec").alias("latest_ts_sec"),
     )
 
 

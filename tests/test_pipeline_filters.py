@@ -120,3 +120,37 @@ def test_canonical_url_stacked_corners(spark):
     rows = con.execute(lifted).fetchall()
     for i, _, c, _ in rows:
         assert c == cases[i][1], (i, cases[i][0], c)
+
+
+def test_url_latest_snapshot_argmax(spark):
+    """Independent Python recompute of the latest-capture argmax (the gate
+    only proves Spark == DuckDB; this pins both against first principles),
+    plus: the winning spelling must VARY across groups — the group-index
+    rotation in ts_sec is load-bearing, otherwise the argmax would only ever
+    be exercised on one of the 4 planted variants."""
+    import collections
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["canonical_url"]: (r["n_captures"], r["latest_doc_id"], r["latest_ts_sec"])
+        for r in q.q_url_latest_snapshot(spark, sf).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in q.load(spark, sf, "documents").select("doc_id").collect()
+    ]
+    groups = collections.defaultdict(list)
+    for i in ids:
+        base = i - i % 4
+        canon = f"http://site{base % 20}.example.com/Docs/{base}"
+        ts = base * 61 + ((i // 4 + (i % 4) * 3) % 4) * 13 + 86400
+        groups[canon].append((ts, i))
+    assert set(got) == set(groups)
+    winners = set()
+    for canon, members in groups.items():
+        ts, i = max(members)
+        assert got[canon] == (len(members), i, ts), canon
+        winners.add(i % 4)
+    assert winners == {0, 1, 2, 3}

@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # junk gate (P6) + quality scoring
         "junk_flags": q.q_junk_flags,
         "text_quality": q.q_text_quality,
+        "domain_quota_topk": q.q_domain_quota_topk,
         # windows / relational coverage. NOTE: the r4 driver gated 50 of
         # the then-52 entries (the surface is 55 as of r5), skipping
         # orders_by_priority_month and nation_revenue (both DO have
@@ -229,6 +230,13 @@ def oracle_sql() -> dict[str, str]:
             q.QUALITY_MIN_TOKENS,
             q.QUALITY_MAX_STOP_RATIO,
             q.QUALITY_MIN_DISTINCT_RATIO,
+        ),
+        "domain_quota_topk": o.sql_domain_quota_topk(
+            q.STOPWORDS,
+            q.QUALITY_MIN_TOKENS,
+            q.QUALITY_MAX_STOP_RATIO,
+            q.QUALITY_MIN_DISTINCT_RATIO,
+            q.DOMAIN_QUOTA_K,
         ),
         "user_sessions": o.sql_user_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),

@@ -1323,6 +1323,28 @@ SELECT doc_id,
 FROM documents"""
 
 
+def _quality_m_cte(stopwords: list[str]) -> str:
+    """Shared t/m CTE pair for the quality-arithmetic oracles
+    (sql_text_quality, sql_domain_quota_topk) — queries.py _quality_parts
+    twin: whitespace tokenization with empties dropped, same stopword list,
+    same [^\\w\\s] punctuation class."""
+    arr = ", ".join("'" + s + "'" for s in stopwords)
+    return rf"""t AS (
+    SELECT doc_id, source, text,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tl
+    FROM documents
+), m AS (
+    SELECT doc_id, source,
+           length(text)::BIGINT AS n_chars,
+           len(tl)::BIGINT AS n_tokens,
+           len(list_filter(tl, x -> list_contains([{arr}], x))) AS n_stop,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               AS n_punct,
+           len(list_distinct(tl)) AS n_distinct
+    FROM t
+)"""
+
+
 def sql_text_quality(
     stopwords: list[str],
     min_tokens: int,
@@ -1332,22 +1354,8 @@ def sql_text_quality(
     """DuckDB twin of q_text_quality: same tokenization (whitespace split,
     empties dropped), same stopword list, same [^\\w\\s] punctuation class,
     same rounding and gates."""
-    arr = ", ".join("'" + s + "'" for s in stopwords)
     return rf"""
-WITH t AS (
-    SELECT doc_id, text,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tl
-    FROM documents
-), m AS (
-    SELECT doc_id,
-           length(text)::BIGINT AS n_chars,
-           len(tl)::BIGINT AS n_tokens,
-           len(list_filter(tl, x -> list_contains([{arr}], x))) AS n_stop,
-           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-               AS n_punct,
-           len(list_distinct(tl)) AS n_distinct
-    FROM t
-)
+WITH {_quality_m_cte(stopwords)}
 SELECT doc_id, n_chars, n_tokens,
        round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
        round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
@@ -1356,3 +1364,35 @@ SELECT doc_id, n_chars, n_tokens,
         AND round(n_distinct / greatest(n_tokens, 1), 6)
             >= {min_distinct_ratio}) AS passes_quality
 FROM m"""
+
+
+def sql_domain_quota_topk(
+    stopwords: list[str],
+    min_tokens: int,
+    max_stop_ratio: float,
+    min_distinct_ratio: float,
+    k: int,
+) -> str:
+    """DuckDB twin of q_domain_quota_topk: same quality arithmetic
+    (_quality_m_cte), row_number per source over (passes_quality DESC,
+    n_tokens DESC, doc_id), quota filter rank <= k."""
+    return rf"""
+WITH {_quality_m_cte(stopwords)},
+q AS (
+    SELECT source, doc_id, n_tokens,
+           (n_tokens >= {min_tokens}
+            AND round(n_stop / greatest(n_tokens, 1), 6) <= {max_stop_ratio}
+            AND round(n_distinct / greatest(n_tokens, 1), 6)
+                >= {min_distinct_ratio}) AS passes_quality
+    FROM m
+),
+w AS (
+    SELECT source, doc_id, n_tokens, passes_quality,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY passes_quality DESC, n_tokens DESC, doc_id
+           ) AS quota_rank
+    FROM q
+)
+SELECT source, doc_id, n_tokens, passes_quality, quota_rank
+FROM w WHERE quota_rank <= {k} ORDER BY source, quota_rank"""

@@ -1383,12 +1383,12 @@ QUALITY_MAX_STOP_RATIO = 0.5
 QUALITY_MIN_DISTINCT_RATIO = 0.2
 
 
-def q_text_quality(spark, sf_dir):
-    """Training-data quality scoring (length / punctuation / stopword
-    ratios) as one gated pass of pure column algebra — the pre-training
-    corpus filter shape (C4/Gopher-style heuristics, re-expressed JVM-side
-    so the filter folds into the scan at 100 TB)."""
-    d = load(spark, sf_dir, "documents")
+def _quality_parts():
+    """Shared quality arithmetic (token count, stopword / punctuation /
+    distinct ratios, pass gate) for q_text_quality and q_domain_quota_topk —
+    one definition so the two gated surfaces cannot drift. Returns
+    (n_tokens, stop_ratio, punct_ratio, passes_quality) column expressions
+    over a `text` column."""
     t = tokens(F.col("text"))
     n_tok = F.size(t)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -1401,18 +1401,64 @@ def q_text_quality(spark, sf_dir):
     distinct_ratio = F.round(
         F.size(F.array_distinct(t)) / F.greatest(n_tok, F.lit(1)), 6
     )
+    passes = (
+        (n_tok >= QUALITY_MIN_TOKENS)
+        & (stop_ratio <= QUALITY_MAX_STOP_RATIO)
+        & (distinct_ratio >= QUALITY_MIN_DISTINCT_RATIO)
+    )
+    return n_tok, stop_ratio, punct_ratio, passes
+
+
+def q_text_quality(spark, sf_dir):
+    """Training-data quality scoring (length / punctuation / stopword
+    ratios) as one gated pass of pure column algebra — the pre-training
+    corpus filter shape (C4/Gopher-style heuristics, re-expressed JVM-side
+    so the filter folds into the scan at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok, stop_ratio, punct_ratio, passes = _quality_parts()
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),
-        (
-            (n_tok >= QUALITY_MIN_TOKENS)
-            & (stop_ratio <= QUALITY_MAX_STOP_RATIO)
-            & (distinct_ratio >= QUALITY_MIN_DISTINCT_RATIO)
-        ).alias("passes_quality"),
+        passes.alias("passes_quality"),
     )
+
+
+DOMAIN_QUOTA_K = 10
+
+
+def q_domain_quota_topk(spark, sf_dir, k: int = DOMAIN_QUOTA_K):
+    """Per-domain quota sampling — the anti-spam cap every Common-Crawl-style
+    corpus applies before training: no single domain may contribute more
+    than k documents, and the k kept are the best by the quality gate
+    (passes_quality DESC, then n_tokens DESC, doc_id ASC — integer/boolean
+    sort keys only, so ranking has no float-tie hazard across engines).
+
+    Scale shape: `row_number <= k` directly over the window lets Spark
+    insert WindowGroupLimit BEFORE the exchange — each map task forwards at
+    most k rows per domain, so the shuffle carries O(k x domains) rows, not
+    the corpus, and a single spam domain with 10^9 pages cannot flood the
+    sort (the quota IS the skew control)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok, _, _, passes = _quality_parts()
+    ranked = d.select(
+        "source",
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        passes.alias("passes_quality"),
+    ).withColumn(
+        "quota_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("passes_quality").desc(),
+                F.col("n_tokens").desc(),
+                F.col("doc_id"),
+            )
+        ),
+    )
+    return ranked.filter(F.col("quota_rank") <= k)
 
 
 def q_stream_near_dedup_replay(spark, sf_dir):

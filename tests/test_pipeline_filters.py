@@ -122,6 +122,47 @@ def test_canonical_url_stacked_corners(spark):
         assert c == cases[i][1], (i, cases[i][0], c)
 
 
+def test_domain_quota_topk_semantics(spark):
+    """Independent recompute of the per-domain quota: rank docs per source by
+    (passes_quality DESC, n_tokens DESC, doc_id), keep k — using the already
+    gate-proven q_text_quality output as the quality truth, so this pins the
+    quota/ranking layer specifically. Also pins the scale shape: the
+    executed plan must contain a PARTIAL WindowGroupLimit below the exchange
+    (the map-side top-k that keeps a spam domain from flooding the sort)."""
+    import collections
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    k = 3
+    df = q.q_domain_quota_topk(spark, sf, k=k)
+    got = [
+        (r["source"], r["doc_id"], r["n_tokens"], r["passes_quality"], r["quota_rank"])
+        for r in df.collect()
+    ]
+    quality = {
+        r["doc_id"]: (r["passes_quality"], r["n_tokens"])
+        for r in q.q_text_quality(spark, sf).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in q.load(spark, sf, "documents").select("doc_id", "source").collect()
+    }
+    per = collections.defaultdict(list)
+    for doc_id, (passes, n_tok) in quality.items():
+        # sort key: passes DESC, n_tokens DESC, doc_id ASC
+        per[src[doc_id]].append((not passes, -n_tok, doc_id))
+    want = []
+    for s, rows in per.items():
+        for rank, (inv_p, neg_t, doc_id) in enumerate(sorted(rows)[:k], start=1):
+            want.append((s, doc_id, -neg_t, not inv_p, rank))
+    assert sorted(got) == sorted(want)
+    assert all(len(v) > k for v in per.values())  # the quota actually bites
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_url_latest_snapshot_argmax(spark):
     """Independent Python recompute of the latest-capture argmax (the gate
     only proves Spark == DuckDB; this pins both against first principles),

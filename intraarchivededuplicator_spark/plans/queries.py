@@ -566,20 +566,21 @@ def q_contamination_overlap(spark, sf_dir):
     the count of distinct shared shingles. Probes are doc_id % 11 == 0 —
     the benchmark side is always tiny relative to a 100 TB corpus, so its
     distinct shingle set is BROADCAST and the corpus side is a map-only
-    semi-join + one aggregation: no corpus self-shuffle anywhere."""
-    from ..functions.columns import token_shingles, tokens
+    semi-join + one aggregation: no corpus self-shuffle anywhere.
+
+    The (doc_id, shingle) streams come from the Arrow kernel
+    (functions/shingle_kernel.distinct_shingles), not the interpreted HOF
+    pipeline — the corpus-side shingle explode was this query's dominant
+    cost (see the kernel's module docstring for the measurement). The probe
+    side filters docs BEFORE the kernel (predicates don't push through
+    mapInPandas)."""
+    from ..functions.shingle_kernel import distinct_shingles
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(token_shingles(tokens("text"), K_SHINGLE))
-        ).alias("s"),
-    )
-    probes = (
-        sh.filter(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
-        .select(F.col("doc_id").alias("probe_id"), "s")
-    )
+    sh = distinct_shingles(d, K_SHINGLE)
+    probes = distinct_shingles(
+        d.filter(F.col("doc_id") % CONTAM_PROBE_MOD == 0), K_SHINGLE
+    ).select(F.col("doc_id").alias("probe_id"), "s")
     # both sides are distinct per (doc, shingle), so count(*) after the join
     # IS the distinct shared-shingle count
     return (

@@ -122,6 +122,49 @@ def test_canonical_url_stacked_corners(spark):
         assert c == cases[i][1], (i, cases[i][0], c)
 
 
+def test_distinct_shingle_kernel_matches_hof(spark):
+    """The Arrow distinct-shingle kernel must emit exactly the rows the
+    interpreted HOF pipeline (tokens -> token_shingles -> array_distinct ->
+    explode) emits — on the real sf0.001 corpus AND on corners the corpus
+    lacks: null text, empty text, < k tokens, exactly k tokens, repeated
+    shingles, and multi-whitespace runs."""
+    from pyspark.sql import functions as F2
+
+    from intraarchivededuplicator_spark.functions.columns import (
+        token_shingles,
+        tokens,
+    )
+    from intraarchivededuplicator_spark.functions.shingle_kernel import (
+        distinct_shingles,
+    )
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    k = 4
+    corners = [
+        (1000, None),
+        (1001, ""),
+        (1002, "one two three"),  # k-1 tokens
+        (1003, "one two three four"),  # exactly k
+        (1004, "a b c d a b c d a b c d"),  # repeated shingles
+        (1005, "x\t\ty   z\n w v"),  # whitespace runs
+    ]
+    base = q.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(corners, "doc_id long, text string")
+    d = base.unionByName(extra)
+
+    hof = d.select(
+        "doc_id",
+        F2.explode(F2.array_distinct(token_shingles(tokens("text"), k))).alias(
+            "s"
+        ),
+    )
+    got = sorted(map(tuple, distinct_shingles(d, k).collect()))
+    want = sorted(map(tuple, hof.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_domain_quota_topk_semantics(spark):
     """Independent recompute of the per-domain quota: rank docs per source by
     (passes_quality DESC, n_tokens DESC, doc_id), keep k — using the already

@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q.q_url_canonicalize,
         "url_latest_snapshot": q.q_url_latest_snapshot,
         "doc_repetition_stats": q.q_doc_repetition_stats,
+        # line-level web pipeline (CCNet-style)
+        "line_dup_stats": q.q_line_dup_stats,
+        "boilerplate_strip": q.q_boilerplate_strip,
+        "pii_scrub": q.q_pii_scrub,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,
@@ -186,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "url_canonicalize": o.sql_url_canonicalize(),
         "url_latest_snapshot": o.sql_url_latest_snapshot(),
+        "line_dup_stats": o.sql_line_dup_stats(),
+        "boilerplate_strip": o.sql_boilerplate_strip(),
+        "pii_scrub": o.sql_pii_scrub(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

@@ -388,6 +388,128 @@ SELECT s2.doc_id, n_2grams, top_2gram_frac, dup_3gram_frac
 FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id"""
 
 
+def _line_plant(table: str = "documents") -> str:
+    """CTE chain `tk, lraw, occ` — the DuckDB twin of
+    functions/weblines.planted_lines: same arithmetic line synthesis
+    (per-domain header/footer, text split into two halves at
+    ceil(n/2) = (n+1)//2, promo line shared by doc x3/x7 of each decade),
+    empties dropped, md5 line key. Built independently (UNION ALL with
+    literal positions vs Spark's posexplode) so the differential pins the
+    whole pipeline."""
+    from ..functions.weblines import LINE_DOMAINS
+
+    return f"""tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n,
+           (len(string_split(text, ' ')) + 1) // 2 AS h
+    FROM {table}
+),
+lraw AS (
+    SELECT doc_id, 0::BIGINT AS pos,
+           'nav home about contact domain-' || (doc_id % {LINE_DOMAINS})::VARCHAR AS line
+    FROM {table}
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, array_to_string(list_slice(t, 1, h), ' ')
+    FROM tk
+    UNION ALL
+    SELECT doc_id, 2::BIGINT,
+           CASE WHEN n > h THEN array_to_string(list_slice(t, h + 1, n), ' ')
+                ELSE '' END
+    FROM tk
+    UNION ALL
+    SELECT doc_id, 3::BIGINT,
+           CASE WHEN doc_id % 10 IN (3, 7)
+                THEN 'promo code save ' || (doc_id - doc_id % 10 + 3)::VARCHAR
+                ELSE '' END
+    FROM {table}
+    UNION ALL
+    SELECT doc_id, 4::BIGINT,
+           'copyright site-' || (doc_id % {LINE_DOMAINS})::VARCHAR || ' all rights reserved'
+    FROM {table}
+),
+occ AS (
+    SELECT doc_id, pos, line, md5(line) AS line_hash
+    FROM lraw WHERE line <> ''
+)"""
+
+
+def sql_line_dup_stats(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_line_dup_stats: per-doc count of line
+    occurrences whose line appears in >= 2 distinct docs."""
+    return f"""
+WITH {_line_plant(table)},
+dfh AS (
+    SELECT line_hash, count(DISTINCT doc_id) AS df_docs
+    FROM occ GROUP BY 1
+)
+SELECT o.doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+       round(sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS dup_line_ratio
+FROM occ o JOIN dfh USING (line_hash)
+GROUP BY 1 ORDER BY 1"""
+
+
+def sql_boilerplate_strip(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_boilerplate_strip: drop lines with corpus
+    doc-frequency >= BOILERPLATE_DF, rebuild each doc in line order
+    (string_agg ORDER BY pos vs the engine's struct-sorted collect_list —
+    independent formulations of the ordered reconstruction)."""
+    from ..functions.weblines import BOILERPLATE_DF
+
+    return f"""
+WITH {_line_plant(table)},
+dfh AS (
+    SELECT line_hash, count(DISTINCT doc_id) AS df_docs
+    FROM occ GROUP BY 1
+),
+kept AS (
+    SELECT o.doc_id, o.pos, o.line
+    FROM occ o JOIN dfh USING (line_hash)
+    WHERE df_docs < {BOILERPLATE_DF}
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+    FROM kept GROUP BY 1
+)
+SELECT d.doc_id, coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(clean_text, '') AS clean_text
+FROM {table} d LEFT JOIN agg USING (doc_id) ORDER BY 1"""
+
+
+def sql_pii_scrub(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_pii_scrub: identical arithmetic PII plant
+    (functions/weblines.planted_pii), independent regex engine (RE2 with
+    explicit 'g' vs Spark's replace-all Java regex), same pattern strings."""
+    from ..functions.weblines import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    email = "' contact user' || doc_id::VARCHAR || '@mail.example.com'"
+    phone = ("' call +1-555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')")
+    ip = ("' host 10.' || (doc_id % 250)::VARCHAR || '.0.' || "
+          "(doc_id % 200)::VARCHAR")
+    return f"""
+WITH p AS (
+    SELECT doc_id, text ||
+        CASE doc_id % 4
+            WHEN 0 THEN {email} || {phone} || {ip}
+            WHEN 1 THEN {email}
+            WHEN 2 THEN {phone}
+            ELSE '' END AS raw
+    FROM {table}
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(raw, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(raw, '{PII_IP_RE}'))::BIGINT AS n_ips,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g') AS scrubbed
+FROM p ORDER BY doc_id"""
+
+
 def sql_minhash_long(params: MinHashParams, k_shingle: int, table: str = "documents") -> str:
     """(doc_id, i, v) long-format MinHash signature; docs w/o shingles omitted."""
     vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(params.a, params.b)))

@@ -621,6 +621,105 @@ def q_doc_repetition_stats(spark, sf_dir):
     )
 
 
+# --- line-level web pipeline (CCNet-style; beyond-reference) -----------------
+
+def q_line_dup_stats(spark, sf_dir):
+    """Per-doc line-duplication signals (the CCNet/RefinedWeb line-dedup
+    stage): explode each planted page into lines (functions/weblines —
+    per-domain header/footer, two body halves, a df=2 promo pair), hash
+    each line, count distinct docs per line hash corpus-wide, and report
+    per doc how many of its lines appear in >= 2 docs.
+
+    Plan shape at 10^12 docs: map-only plant -> ONE exchange for the
+    (hash, doc) distinct + hash count (partial-aggregated) -> shuffle join
+    occurrences x df on the 16-byte hash -> per-doc aggregation. No
+    window, no broadcast assumption (the dup-line set is unbounded)."""
+    from ..functions.weblines import line_doc_frequency, planted_lines
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = planted_lines(d)
+    j = occ.join(line_doc_frequency(occ), "line_hash")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("df_docs") >= 2).cast("long")).alias("n_dup_lines"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        (
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6) + F.lit(0.0)
+        ).alias("dup_line_ratio"),
+    )
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal + ordered reconstruction: drop every line whose
+    corpus doc-frequency >= BOILERPLATE_DF (the per-domain nav/copyright
+    plant: df 12.5 at sf0.01, 125 at sf0.1), keep the rest — including the
+    df=2 promo pair, which is duplicated but NOT boilerplate — and rebuild
+    each doc's text in original line order.
+
+    Reconstruction is array_sort(collect_list(struct(pos, line))) — struct
+    sort on the unique pos, no window; docs whose every line was stripped
+    still emit a row (left join back to the corpus, empty text). Same
+    exchanges as line_dup_stats plus the final per-doc aggregation."""
+    from ..functions.weblines import (
+        BOILERPLATE_DF,
+        line_doc_frequency,
+        planted_lines,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = planted_lines(d)
+    kept = occ.join(line_doc_frequency(occ), "line_hash").filter(
+        F.col("df_docs") < BOILERPLATE_DF
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (the scrub pass every public-web training pipeline
+    runs): emails, NANP phone numbers and IPv4 addresses planted by
+    construction (doc_id % 4 — stacked / email-only / phone-only / clean),
+    counted on the raw text and redacted to <EMAIL>/<PHONE>/<IP>.
+
+    Pure map-only JVM regex column algebra — zero shuffles at any corpus
+    size. The DuckDB oracle runs the SAME RE2-safe pattern strings through
+    an independent regex engine, so the differential pins the dialect."""
+    from ..functions.weblines import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_count,
+        pii_scrub_col,
+        planted_pii,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    p = planted_pii(d)
+    return p.select(
+        "doc_id",
+        pii_count(F.col("raw"), PII_EMAIL_RE).alias("n_emails"),
+        pii_count(F.col("raw"), PII_PHONE_RE).alias("n_phones"),
+        pii_count(F.col("raw"), PII_IP_RE).alias("n_ips"),
+        pii_scrub_col(F.col("raw")).alias("scrubbed"),
+    )
+
+
 # --- embeddings (similarity search) -------------------------------------------
 
 def _scaled(col):

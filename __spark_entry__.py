@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dup_stats": q.q_line_dup_stats,
         "boilerplate_strip": q.q_boilerplate_strip,
         "pii_scrub": q.q_pii_scrub,
+        "bloom_dedup_incremental": q.q_bloom_dedup_incremental,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,
@@ -193,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dup_stats": o.sql_line_dup_stats(),
         "boilerplate_strip": o.sql_boilerplate_strip(),
         "pii_scrub": o.sql_pii_scrub(),
+        "bloom_dedup_incremental": o.sql_bloom_dedup_incremental(
+            q.BLOOM_M_GATE, q.BLOOM_K_GATE
+        ),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

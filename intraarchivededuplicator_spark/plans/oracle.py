@@ -510,6 +510,57 @@ SELECT doc_id,
 FROM p ORDER BY doc_id"""
 
 
+def sql_bloom_dedup_incremental(
+    m: int, k: int, batch_mod: int = 5, dup_mod: int = 10,
+    table: str = "documents",
+) -> str:
+    """Oracle for plans/queries.q_bloom_dedup_incremental: same md5-derived
+    double-hashing positions (h2 forced odd — with m a power of two the k
+    probe positions of one key are provably distinct, so count(*) = k IS
+    the all-bits-set test), membership recomputed as a set-semijoin instead
+    of the engine's numpy bit array."""
+    ivals = ", ".join(f"({i})" for i in range(k))
+    h1 = "('0x' || substr(h, 1, 8))::BIGINT"
+    h2 = "('0x' || substr(h, 9, 8))::BIGINT"
+    return f"""
+WITH d AS (SELECT doc_id, text FROM {table}),
+b0 AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % {dup_mod} = 0 THEN doc_id + 1 ELSE doc_id END
+               AS src_id
+    FROM d WHERE doc_id % {batch_mod} = 0
+),
+batch AS (
+    SELECT b.doc_id, md5(coalesce(s.text, b.text)) AS h
+    FROM b0 b LEFT JOIN d s ON s.doc_id = b.src_id
+),
+corpus AS (
+    SELECT DISTINCT md5(text) AS h FROM d WHERE doc_id % {batch_mod} <> 0
+),
+ch AS (SELECT {h1} AS h1, {h2} - {h2} % 2 + 1 AS h2p FROM corpus),
+cpos AS (
+    SELECT DISTINCT (h1 + i.i * h2p) % {m} AS pos
+    FROM ch CROSS JOIN (VALUES {ivals}) AS i(i)
+),
+bh AS (
+    SELECT doc_id, h, {h1} AS h1, {h2} - {h2} % 2 + 1 AS h2p FROM batch
+),
+bpos AS (
+    SELECT doc_id, (h1 + i.i * h2p) % {m} AS pos
+    FROM bh CROSS JOIN (VALUES {ivals}) AS i(i)
+),
+hits AS (
+    SELECT b.doc_id, count(c.pos) AS nhit
+    FROM bpos b LEFT JOIN cpos c USING (pos)
+    GROUP BY 1
+)
+SELECT bh.doc_id,
+       (nhit = {k}) AS bloom_positive,
+       (nhit = {k} AND c2.h IS NOT NULL) AS is_dup
+FROM bh JOIN hits USING (doc_id) LEFT JOIN corpus c2 ON c2.h = bh.h
+ORDER BY bh.doc_id"""
+
+
 def sql_minhash_long(params: MinHashParams, k_shingle: int, table: str = "documents") -> str:
     """(doc_id, i, v) long-format MinHash signature; docs w/o shingles omitted."""
     vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(params.a, params.b)))

@@ -720,6 +720,56 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+BLOOM_BATCH_MOD = 5  # doc_id % 5 == 0 -> the "new crawl batch"
+BLOOM_DUP_MOD = 10   # batch docs with doc_id % 10 == 0 replay corpus text
+
+# gate-shared sketch geometry: __spark_entry__ hands these to the oracle
+# builder so the two engines cannot drift
+from ..operators.bloom import BLOOM_K as BLOOM_K_GATE  # noqa: E402
+from ..operators.bloom import BLOOM_M as BLOOM_M_GATE  # noqa: E402
+
+
+def q_bloom_dedup_incremental(spark, sf_dir):
+    """Sketch-gated incremental exact dedup (operators/bloom): the corpus
+    (doc_id % 5 != 0) builds a Bloom filter over its text hashes once; the
+    new batch (doc_id % 5 == 0) probes it map-only, and ONLY bloom-positive
+    rows pay the exact verify join. Duplicates are planted by construction:
+    batch docs with doc_id % 10 == 0 take the text of corpus doc doc_id+1
+    (coalesce to their own text at the table edge), so ~half the batch must
+    come back (bloom_positive=true, is_dup=true) and the rest clean.
+
+    The DuckDB oracle recomputes the SAME double-hashing positions
+    (md5 hex halves, h2 forced odd, (h1 + i*h2') % m) but tests membership
+    as a set-semijoin with a count(*)=k gate instead of numpy bit math —
+    an independent formulation of the sketch, so the differential pins the
+    probe arithmetic end to end. False positives are deterministic given
+    (m, k), hence gate-safe; at m=2^20 and sf-scale fill none occur."""
+    from ..operators.bloom import bloom_incremental_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = with_text_hash(d.filter(F.col("doc_id") % BLOOM_BATCH_MOD != 0))
+    batch0 = d.filter(F.col("doc_id") % BLOOM_BATCH_MOD == 0).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % BLOOM_DUP_MOD == 0, F.col("doc_id") + 1
+        ).otherwise(F.col("doc_id")).alias("src_id"),
+    )
+    batch = with_text_hash(
+        batch0.join(
+            d.select(
+                F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+            ),
+            "src_id",
+            "left",
+        ).select(
+            "doc_id", F.coalesce("src_text", "text").alias("text")
+        )
+    )
+    out = bloom_incremental_dedup(corpus, batch.select("doc_id", "text_hash"))
+    return out.select("doc_id", "bloom_positive", "is_dup")
+
+
 # --- embeddings (similarity search) -------------------------------------------
 
 def _scaled(col):

@@ -561,6 +561,28 @@ FROM bh JOIN hits USING (doc_id) LEFT JOIN corpus c2 ON c2.h = bh.h
 ORDER BY bh.doc_id"""
 
 
+def sql_sequence_pack_offsets(cap: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_sequence_pack_offsets: the NAIVE global
+    prefix-sum window (fine in DuckDB's single-node world) — the engine's
+    two-phase bucketed scan must reproduce it exactly."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM {table}
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens)::BIGINT AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {cap})::BIGINT AS seq_id,
+       (start_offset % {cap})::BIGINT AS offset_in_seq
+FROM s ORDER BY doc_id"""
+
+
 def sql_minhash_long(params: MinHashParams, k_shingle: int, table: str = "documents") -> str:
     """(doc_id, i, v) long-format MinHash signature; docs w/o shingles omitted."""
     vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(params.a, params.b)))

@@ -727,6 +727,7 @@ BLOOM_DUP_MOD = 10   # batch docs with doc_id % 10 == 0 replay corpus text
 # builder so the two engines cannot drift
 from ..operators.bloom import BLOOM_K as BLOOM_K_GATE  # noqa: E402
 from ..operators.bloom import BLOOM_M as BLOOM_M_GATE  # noqa: E402
+from ..operators.pack import PACK_SEQ_LEN as PACK_CAP_GATE  # noqa: E402
 
 
 def q_bloom_dedup_incremental(spark, sf_dir):
@@ -768,6 +769,24 @@ def q_bloom_dedup_incremental(spark, sf_dir):
     )
     out = bloom_incremental_dedup(corpus, batch.select("doc_id", "text_hash"))
     return out.select("doc_id", "bloom_positive", "is_dup")
+
+
+def q_sequence_pack_offsets(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/pack): global token
+    start-offset per doc in doc_id order, the training sequence it lands
+    in, and the offset within it. The engine runs the scalable two-phase
+    scan (bucket sums -> bounded driver cumsum -> parallel per-bucket
+    windows + broadcast offsets); the oracle runs the naive global window
+    `sum() OVER (ORDER BY doc_id)` — the gate proves the two-phase scan is
+    exactly the prefix sum while the engine's plan avoids the
+    SinglePartition exchange the naive form pays (pinned in tests)."""
+    from ..operators.pack import packed_offsets
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return packed_offsets(d)
 
 
 # --- embeddings (similarity search) -------------------------------------------

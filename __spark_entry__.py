@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q.q_pii_scrub,
         "bloom_dedup_incremental": q.q_bloom_dedup_incremental,
         "sequence_pack_offsets": q.q_sequence_pack_offsets,
+        "dedup_key_normalize": q.q_dedup_key_normalize,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
         "embedding_knn_ann": q.q_embedding_knn_ann,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
             q.BLOOM_M_GATE, q.BLOOM_K_GATE
         ),
         "sequence_pack_offsets": o.sql_sequence_pack_offsets(q.PACK_CAP_GATE),
+        "dedup_key_normalize": o.sql_dedup_key_normalize(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(
             EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8

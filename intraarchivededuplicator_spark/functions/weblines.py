@@ -137,6 +137,27 @@ def pii_scrub_col(col):
     return F.regexp_replace(out, PII_IP_RE, "<IP>")
 
 
+# ASCII punctuation by code ranges (33-47, 58-64, 91-96, 123-126): quote-free
+# in source so it embeds in SQL literals, identical in Java regex and RE2,
+# and — unlike [^a-z0-9 ] — it PRESERVES non-ASCII letters, so CJK docs keep
+# distinct dedup keys instead of all normalizing to the empty string.
+DEDUP_PUNCT_RE = r"[!-/:-@\[-`{-~]+"
+
+
+def norm_dedup_key(col):
+    """CCNet-style exact-dedup key normalization: lowercase, strip
+    punctuation to spaces, mask digit runs to '0', collapse whitespace,
+    trim. Two spellings of the same content ('Foo, bar 42!' / 'foo bar 77')
+    hash identically AFTER this and differently before — the normalization
+    IS the dedup recall knob. RE2-safe ASCII classes so the DuckDB oracle
+    runs the same pattern strings (plans/oracle.sql_dedup_key_normalize)."""
+    out = F.lower(col)
+    out = F.regexp_replace(out, DEDUP_PUNCT_RE, " ")
+    out = F.regexp_replace(out, r"[0-9]+", "0")
+    out = F.regexp_replace(out, r" +", " ")
+    return F.trim(out)
+
+
 def pii_count(col, pattern: str):
     """Occurrence count of `pattern` in `col` (whole-match, BIGINT)."""
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(

@@ -561,6 +561,39 @@ FROM bh JOIN hits USING (doc_id) LEFT JOIN corpus c2 ON c2.h = bh.h
 ORDER BY bh.doc_id"""
 
 
+def sql_dedup_key_normalize(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_dedup_key_normalize: same arithmetic
+    variant plant, same RE2-safe pattern strings through DuckDB's regex
+    engine (explicit 'g' vs Spark's replace-all)."""
+    from ..functions.weblines import DEDUP_PUNCT_RE
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower(raw), '{DEDUP_PUNCT_RE}', ' ', 'g'), "
+        "'[0-9]+', '0', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM {table}),
+v AS (
+    SELECT a.doc_id, b.text AS bt
+    FROM (SELECT doc_id, doc_id - doc_id % 4 AS base_id FROM d) a
+    JOIN d b ON b.doc_id = a.base_id
+),
+r AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN bt
+               WHEN 1 THEN upper(bt) || '  !!'
+               WHEN 2 THEN bt || ' price 42 eur'
+               ELSE bt || ' PRICE, 77 eur' END AS raw
+    FROM v
+),
+n AS (SELECT doc_id, md5(raw) AS raw_hash, md5({norm}) AS norm_hash FROM r)
+SELECT doc_id, raw_hash, norm_hash,
+       min(doc_id) OVER (PARTITION BY norm_hash) AS group_min_id
+FROM n ORDER BY doc_id"""
+
+
 def sql_sequence_pack_offsets(cap: int, table: str = "documents") -> str:
     """Oracle for plans/queries.q_sequence_pack_offsets: the NAIVE global
     prefix-sum window (fine in DuckDB's single-node world) — the engine's

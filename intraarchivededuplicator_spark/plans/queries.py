@@ -771,6 +771,52 @@ def q_bloom_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "bloom_positive", "is_dup")
 
 
+def q_dedup_key_normalize(spark, sf_dir):
+    """CCNet-style dedup-key normalization (functions/weblines.
+    norm_dedup_key): lowercase -> ASCII punctuation to spaces -> digit runs
+    masked to '0' -> whitespace collapse -> trim, hashed before and after.
+    Spelling variants are planted by construction: each run of 4 doc_ids
+    shares one base text; variant 1 is uppercased with punctuation/space
+    junk appended (collapses with variant 0 ONLY after normalization),
+    variants 2/3 append the same phrase with different digits and casing
+    (collapse with each other via the digit mask, NOT with 0/1).
+    group_min_id over norm_hash shows the induced grouping.
+
+    Map-only plant (the base-text fetch is a broadcast-size self-join on
+    the arithmetic anchor id) + JVM regex chain; the one exchange is the
+    grouping window, which a real pipeline replaces with the hash-groupBy
+    exact dedup already pays."""
+    from ..functions.weblines import norm_dedup_key
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = d.select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("bt")
+    )
+    v = d.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("base_id")
+    ).join(anchors, "base_id")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(m == 0, F.col("bt"))
+        .when(m == 1, F.concat(F.upper(F.col("bt")), F.lit("  !!")))
+        .when(m == 2, F.concat(F.col("bt"), F.lit(" price 42 eur")))
+        .otherwise(F.concat(F.col("bt"), F.lit(" PRICE, 77 eur")))
+    )
+    n = v.select(
+        "doc_id",
+        F.md5(F.encode(raw, "UTF-8")).alias("raw_hash"),
+        F.md5(F.encode(norm_dedup_key(raw), "UTF-8")).alias("norm_hash"),
+    )
+    return n.select(
+        "doc_id",
+        "raw_hash",
+        "norm_hash",
+        F.min("doc_id").over(Window.partitionBy("norm_hash")).alias(
+            "group_min_id"
+        ),
+    )
+
+
 def q_sequence_pack_offsets(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/pack): global token
     start-offset per doc in doc_id order, the training sequence it lands

@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_radius_search": q.q_simhash_radius_search,
         "probe_session_search": q.q_probe_session_search,
         "near_pairs_within_horizon": q.q_near_pairs_within_horizon,
+        "incremental_near_pairs": q.q_incremental_near_pairs,
         "stream_near_dedup_replay": q.q_stream_near_dedup_replay,
         "stream_exact_dedup_replay": q.q_stream_exact_dedup_replay,
         "simhash_clusters": q.q_simhash_clusters,
@@ -148,6 +149,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_radius_pairs": o.sql_simhash_radius_pairs(SIMHASH_RADIUS),
         "near_pairs_within_horizon": o.sql_near_pairs_within_horizon(
             SIMHASH_RADIUS, q.NEAR_HORIZON_SEC
+        ),
+        "incremental_near_pairs": o.sql_incremental_near_pairs(
+            SIMHASH_RADIUS, q.INCR_NEW_MOD
         ),
         # the streaming replay emits the SAME pair set as its batch twin
         # (equivalence pinned in tests/test_streaming_near_dedup.py), so the

@@ -98,6 +98,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
 ORDER BY id_lo, id_hi"""
 
 
+def sql_incremental_near_pairs(
+    radius: int, new_mod: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_incremental_near_pairs: the full
+    brute-force radius-pair set restricted to pairs with at least one side
+    in the new batch (doc_id % new_mod == 0) — the engine's two banded legs
+    (new-vs-index broadcast probe + within-batch self-join) must together
+    reproduce exactly this restriction with recall 1.0."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)}
+SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+       bit_count(xor(a.simhash, b.simhash))::INT AS distance
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+  AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+  AND (a.doc_id % {new_mod} = 0 OR b.doc_id % {new_mod} = 0)
+ORDER BY id_lo, id_hi"""
+
+
 def sql_near_pairs_within_horizon(
     radius: int, horizon_sec: int, table: str = "documents", blacklist=(0,)
 ) -> str:

@@ -209,6 +209,50 @@ def q_near_pairs_within_horizon(spark, sf_dir):
     )
 
 
+# docs with doc_id % INCR_NEW_MOD == 0 form the synthetic "new batch" for
+# the incremental near-dedup query (arithmetic split, like the probe sets)
+INCR_NEW_MOD = 7
+
+
+def q_incremental_near_pairs(spark, sf_dir):
+    """Batch-increment near-dedup — the daily-crawl pattern at 10^12 docs:
+    only pairs TOUCHING the new batch (doc_id % INCR_NEW_MOD == 0 by
+    construction) are computed. Two legs: new-vs-index via
+    banded_radius_search (the small new-batch band table broadcasts against
+    the resident corpus bands — at production scale that side is the
+    persisted S13 band table, scanned once, never self-paired) plus the
+    within-batch banded self-join. The old-vs-old quadratic term — already
+    paid when the corpus was built — is never re-derived, so incremental
+    cost scales with |new|, not |corpus|^2. Same radius/banding/blacklist
+    as simhash_radius_pairs, hence the oracle is exactly that query's rows
+    restricted to pairs with >= 1 new side. Covers the reference's
+    incremental re-scan + insertPhash flow (dbPhashApi.py:88-115: new items
+    are hashed and searched against the resident BK-tree, existing items
+    are not re-paired) as one set-oriented job."""
+    d = docs_with_sig(spark, sf_dir).filter(F.col("simhash") != 0)
+    is_new = (F.col("doc_id") % INCR_NEW_MOD) == 0
+    old, new = d.filter(~is_new), d.filter(is_new)
+    cross = banded_radius_search(
+        old,
+        new,
+        SIMHASH_RADIUS,
+        corpus_id="doc_id",
+        corpus_sig="simhash",
+        query_id="doc_id",
+        query_sig="simhash",
+    ).select(
+        F.least("q_id", "match_id").alias("id_lo"),
+        F.greatest("q_id", "match_id").alias("id_hi"),
+        "distance",
+    )
+    within = banded_self_join(
+        new, "doc_id", "simhash", SIMHASH_RADIUS
+    ).select("id_lo", "id_hi", "distance")
+    return cross.unionByName(within).select(
+        "id_lo", "id_hi", F.col("distance").cast("int").alias("distance")
+    )
+
+
 def q_simhash_hot_bands(spark, sf_dir):
     """S13 skew registry as a driver query: SimHash band keys shared by more
     than one doc, with member counts — the high_incidence_hashes side table

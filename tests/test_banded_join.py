@@ -192,3 +192,46 @@ def test_radius_search_shuffle_branch_differential(spark):
     }
     assert len(expect) > 0
     assert got == expect
+
+
+def test_incremental_near_pairs_differential(spark):
+    """q_incremental_near_pairs (new-vs-index broadcast probe + within-batch
+    self-join) must equal the FULL banded self-join restricted to pairs with
+    at least one side in the new batch — i.e., skipping the old-vs-old
+    quadratic term loses nothing that touches the increment. Random corpus
+    with planted near-neighbors on both sides of the old/new split."""
+    from intraarchivededuplicator_spark.plans.queries import INCR_NEW_MOD
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-(2**63), 2**63, size=300, dtype=np.int64)
+    near = base[:150] ^ (np.int64(1) << rng.randint(0, 64, size=150))
+    sigs = np.concatenate([base, near])
+    df = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    radius = 4
+    full = banded_self_join(df, "id", "sig", radius)
+    expect = {
+        (r["id_lo"], r["id_hi"], r["distance"])
+        for r in full.collect()
+        if r["id_lo"] % INCR_NEW_MOD == 0 or r["id_hi"] % INCR_NEW_MOD == 0
+    }
+    is_new = F.col("id") % INCR_NEW_MOD == 0
+    old, new = df.filter(~is_new), df.filter(is_new)
+    cross = banded_radius_search(
+        old, new, radius, corpus_id="id", corpus_sig="sig",
+        query_id="id", query_sig="sig",
+    ).select(
+        F.least("q_id", "match_id").alias("id_lo"),
+        F.greatest("q_id", "match_id").alias("id_hi"),
+        "distance",
+    )
+    within = banded_self_join(new, "id", "sig", radius).select(
+        "id_lo", "id_hi", "distance"
+    )
+    got = {
+        (r["id_lo"], r["id_hi"], r["distance"])
+        for r in cross.unionByName(within).collect()
+    }
+    assert len(expect) > 20  # non-vacuous: planted pairs straddle the split
+    assert got == expect

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q.q_contamination_overlap,
         "url_canonicalize": q.q_url_canonicalize,
         "url_latest_snapshot": q.q_url_latest_snapshot,
+        "url_revisit_diff": q.q_url_revisit_diff,
         "doc_repetition_stats": q.q_doc_repetition_stats,
         # line-level web pipeline (CCNet-style)
         "line_dup_stats": q.q_line_dup_stats,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "url_canonicalize": o.sql_url_canonicalize(),
         "url_latest_snapshot": o.sql_url_latest_snapshot(),
+        "url_revisit_diff": o.sql_url_revisit_diff(),
         "line_dup_stats": o.sql_line_dup_stats(),
         "boilerplate_strip": o.sql_boilerplate_strip(),
         "pii_scrub": o.sql_pii_scrub(),

@@ -355,6 +355,43 @@ SELECT canonical_url, n_captures,
 FROM w WHERE rn = 1 ORDER BY canonical_url"""
 
 
+def sql_url_revisit_diff(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_url_revisit_diff: same plant + canon chain
+    + capture times as sql_url_latest_snapshot, content versions
+    1 when doc_id % 4 in (0, 3) else 0, change counting via lag over
+    capture time. Counts stay BIGINT (the transport-strict HUGEINT
+    discipline); ratio rounds to 6 decimals with the -0.0 normalization."""
+    return f"""
+WITH {_url_plant(table)},
+{_URL_CANON_CHAIN},
+p AS (
+    SELECT doc_id, canonical_url,
+           ((doc_id - doc_id % 4) * 61
+            + ((doc_id // 4 + (doc_id % 4) * 3) % 4) * 13 + 86400)::BIGINT
+               AS ts_sec,
+           (CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END)::BIGINT
+               AS content_v
+    FROM c8
+),
+l AS (
+    SELECT canonical_url, content_v,
+           lag(content_v) OVER (
+               PARTITION BY canonical_url ORDER BY ts_sec) AS prev_v
+    FROM p
+)
+SELECT canonical_url,
+       count(*)::BIGINT AS n_captures,
+       coalesce(sum(CASE WHEN prev_v IS NOT NULL AND content_v != prev_v
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_changes,
+       CASE WHEN count(*) > 1
+            THEN round(coalesce(sum(CASE WHEN prev_v IS NOT NULL
+                                          AND content_v != prev_v
+                                     THEN 1 ELSE 0 END), 0)::DOUBLE
+                       / (count(*) - 1), 6) + 0.0
+            ELSE 0.0 END AS change_ratio
+FROM l GROUP BY canonical_url ORDER BY canonical_url"""
+
+
 def sql_contamination_overlap(
     k: int, probe_mod: int, table: str = "documents"
 ) -> str:

@@ -552,6 +552,36 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def _planted_captures(d):
+    """_planted_urls + canonical_url + a synthesized capture time
+    ts_sec = base*61 + ((g + 3m) % 4)*13 + 86400 where g = doc_id >> 2
+    (group index) and m = doc_id % 4 (spelling): 3 is coprime to 4, so
+    within a group the offsets are a bijection (no ties), and the g term
+    rotates which spelling is newest per group. Shared by
+    q_url_latest_snapshot and q_url_revisit_diff so the capture plant
+    cannot drift between the two gated surfaces (the DuckDB twin is the
+    `p` CTE in oracle.sql_url_latest_snapshot / sql_url_revisit_diff)."""
+    from ..functions.urlnorm import canonical_url
+
+    base = (F.col("doc_id") - F.col("doc_id") % 4).cast("long")
+    return (
+        _planted_urls(d)
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn(
+            "ts_sec",
+            (
+                base * 61
+                + (
+                    (F.shiftright(F.col("doc_id"), 2) + (F.col("doc_id") % 4) * 3)
+                    % 4
+                )
+                * 13
+                + 86400
+            ).cast("long"),
+        )
+    )
+
+
 def q_url_latest_snapshot(spark, sf_dir):
     """Latest-capture-per-page: the first reduction a Common-Crawl-style
     ingest applies after URL canonicalization — a crawl holds many captures
@@ -568,26 +598,7 @@ def q_url_latest_snapshot(spark, sf_dir):
     dedup key, no window, no join; at 10^12 docs this is the same shuffle
     the exact-dedup hash-groupBy already pays. Epoch seconds stay BIGINT
     end-to-end (TZ-free, the pair_ts_sec discipline)."""
-    from ..functions.urlnorm import canonical_url
-
-    d = load(spark, sf_dir, "documents").select("doc_id")
-    base = (F.col("doc_id") - F.col("doc_id") % 4).cast("long")
-    pages = (
-        _planted_urls(d)
-        .withColumn("canonical_url", canonical_url(F.col("url")))
-        .withColumn(
-            "ts_sec",
-            (
-                base * 61
-                + (
-                    (F.shiftright(F.col("doc_id"), 2) + (F.col("doc_id") % 4) * 3)
-                    % 4
-                )
-                * 13
-                + 86400
-            ).cast("long"),
-        )
-    )
+    pages = _planted_captures(load(spark, sf_dir, "documents").select("doc_id"))
     agg = pages.groupBy("canonical_url").agg(
         F.count("*").alias("n_captures"),
         F.max(F.struct(F.col("ts_sec"), F.col("doc_id"))).alias("mx"),
@@ -597,6 +608,57 @@ def q_url_latest_snapshot(spark, sf_dir):
         "n_captures",
         F.col("mx.doc_id").alias("latest_doc_id"),
         F.col("mx.ts_sec").alias("latest_ts_sec"),
+    )
+
+
+def q_url_revisit_diff(spark, sf_dir):
+    """Revisit change detection — the crawl-scheduling signal every
+    Common-Crawl-style pipeline derives after grouping captures by
+    canonical URL: order each page's captures by capture time and count
+    transitions where the content version changed vs the previous visit.
+    Content versions are planted arithmetically (content_v = 1 when
+    m = doc_id % 4 is 0 or 3, else 0 — deliberately NONLINEAR in m, since
+    any parity-linear plant collapses to the capture-time parity under the
+    rotation and every group would show one fixed alternating pattern), so
+    each group of 4 time-ordered captures mixes changed and unchanged
+    revisits, and the per-group time rotation (see _planted_captures)
+    varies WHICH transitions flip — the lag comparison is exercised on
+    multiple patterns (pinned in tests/test_pipeline_filters.py).
+
+    Plan shape at 10^12 docs: map-only plant -> ONE exchange on
+    canonical_url for the lag window -> the per-URL aggregation reuses the
+    window's partitioning (no second exchange; captures-per-URL is small
+    and bounded, so the sort inside each window partition is cheap and
+    skew-free)."""
+    pages = _planted_captures(
+        load(spark, sf_dir, "documents").select("doc_id")
+    ).withColumn(
+        "content_v",
+        (F.col("doc_id") % 4).isin(0, 3).cast("long"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy("ts_sec")
+    prev_v = F.lag("content_v").over(w)
+    ch = pages.withColumn(
+        "chg",
+        F.when(prev_v.isNull(), F.lit(None).cast("long")).otherwise(
+            (F.col("content_v") != prev_v).cast("long")
+        ),
+    )
+    agg = ch.groupBy("canonical_url").agg(
+        F.count("*").alias("n_captures"),
+        F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changes"),
+    )
+    return agg.select(
+        "canonical_url",
+        "n_captures",
+        "n_changes",
+        F.when(
+            F.col("n_captures") > 1,
+            F.round(F.col("n_changes") / (F.col("n_captures") - 1), 6)
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("change_ratio"),
     )
 
 

@@ -238,3 +238,41 @@ def test_url_latest_snapshot_argmax(spark):
         assert got[canon] == (len(members), i, ts), canon
         winners.add(i % 4)
     assert winners == {0, 1, 2, 3}
+
+
+def test_url_revisit_diff_first_principles(spark):
+    """Independent Python recompute of the revisit change counts (the gate
+    only proves Spark == DuckDB; this pins both against first principles),
+    plus: the per-group transition PATTERN must vary across groups — the
+    time rotation means different groups see changes at different visit
+    positions, so the lag comparison isn't exercised on one fixed sequence."""
+    import collections
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["canonical_url"]: (r["n_captures"], r["n_changes"], r["change_ratio"])
+        for r in q.q_url_revisit_diff(spark, sf).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in q.load(spark, sf, "documents").select("doc_id").collect()
+    ]
+    groups = collections.defaultdict(list)
+    for i in ids:
+        base = i - i % 4
+        canon = f"http://site{base % 20}.example.com/Docs/{base}"
+        ts = base * 61 + ((i // 4 + (i % 4) * 3) % 4) * 13 + 86400
+        groups[canon].append((ts, 1 if i % 4 in (0, 3) else 0))
+    assert set(got) == set(groups)
+    patterns = set()
+    for canon, caps in groups.items():
+        vs = [v for _, v in sorted(caps)]
+        chg = [int(a != b) for a, b in zip(vs, vs[1:])]
+        n_changes = sum(chg)
+        ratio = round(n_changes / (len(vs) - 1), 6) + 0.0 if len(vs) > 1 else 0.0
+        assert got[canon] == (len(vs), n_changes, ratio), canon
+        if len(chg) == 3:
+            patterns.add(tuple(chg))
+    assert len(patterns) >= 2  # rotation varies the transition pattern

@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_cross_source": q.q_minhash_pairs_cross_source,
         "source_integrity": q.q_source_integrity,
         "deterministic_sample": q.q_deterministic_sample,
+        "stratified_sample": q.q_stratified_sample,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -236,6 +237,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_integrity": o.sql_source_integrity(),
         "deterministic_sample": o.sql_deterministic_sample(),
+        "stratified_sample": o.sql_stratified_sample(
+            *q.STRATA_BANDS, q.STRATA_K
+        ),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

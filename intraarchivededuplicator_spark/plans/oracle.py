@@ -746,6 +746,37 @@ SELECT doc_id, n_chars FROM documents
 WHERE substring(md5(doc_id::VARCHAR), 1, 1) = '0'"""
 
 
+def sql_stratified_sample(lo: int, hi: int, k: int) -> str:
+    """Oracle for plans/queries.q_stratified_sample: same whitespace
+    tokenization (the _quality_m_cte discipline), same band edges, same
+    md5(doc_id) reservoir order with doc_id tie-break."""
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tok
+    FROM documents
+),
+b AS (
+    SELECT lang,
+           CASE WHEN n_tok < {lo} THEN 'short'
+                WHEN n_tok < {hi} THEN 'medium'
+                ELSE 'long' END AS band,
+           doc_id,
+           md5(doc_id::VARCHAR) AS samp_key
+    FROM t
+),
+w AS (
+    SELECT lang, band, doc_id, samp_key,
+           row_number() OVER (
+               PARTITION BY lang, band ORDER BY samp_key, doc_id
+           )::INT AS samp_rank
+    FROM b
+)
+SELECT lang, band, doc_id, samp_rank FROM w
+WHERE samp_rank <= {k} ORDER BY lang, band, samp_rank"""
+
+
 def sql_events_hourly_rate() -> str:
     # hour bucket via epoch arithmetic + strftime on a NAIVE timestamp
     # (make_timestamp) — TZ-free in any DuckDB session, mirroring the Spark

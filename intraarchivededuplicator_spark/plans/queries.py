@@ -1142,6 +1142,48 @@ def q_deterministic_sample(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+STRATA_BANDS = (48, 72)   # token-count band edges: short / medium / long
+STRATA_K = 10             # docs kept per (lang, band) stratum
+
+
+def q_stratified_sample(spark, sf_dir, k: int = STRATA_K):
+    """Stratified deterministic sampling — the training-data mixer's
+    selection step: partition the corpus into (lang, token-length band)
+    strata and keep k docs per stratum, chosen by md5(doc_id) order — a
+    deterministic uniform reservoir both engines reproduce row-for-row
+    (the J11 hash-sample discipline of q_deterministic_sample, lifted from
+    a global Bernoulli filter to per-stratum exact-k).
+
+    Scale shape: `row_number <= k` directly over the window inserts a
+    PARTIAL WindowGroupLimit below the exchange (pinned in
+    tests/test_pipeline_filters.py, same mechanism as domain_quota_topk) —
+    each map task forwards at most k rows per stratum, so the shuffle
+    carries O(k x strata) rows no matter the corpus size; a 10^12-doc
+    English-medium stratum cannot flood the sort."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    lo, hi = STRATA_BANDS
+    band = (
+        F.when(n_tok < lo, F.lit("short"))
+        .when(n_tok < hi, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    ranked = d.select(
+        "lang",
+        band.alias("band"),
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("samp_key"),
+    ).withColumn(
+        "samp_rank",
+        F.row_number().over(
+            Window.partitionBy("lang", "band").orderBy("samp_key", "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("samp_rank") <= k).select(
+        "lang", "band", "doc_id", "samp_rank"
+    )
+
+
 # --- masks + prefix scan (P3/P5) ---------------------------------------------
 
 MASK_POSITIVE = ["src1"]      # keep only candidates under these prefixes

@@ -276,3 +276,38 @@ def test_url_revisit_diff_first_principles(spark):
         if len(chg) == 3:
             patterns.add(tuple(chg))
     assert len(patterns) >= 2  # rotation varies the transition pattern
+
+
+def test_stratified_sample_plan_and_values(spark):
+    """The per-stratum reservoir must (a) push a PARTIAL WindowGroupLimit
+    below the exchange — the O(k x strata) shuffle guarantee — and
+    (b) match an independent Python recompute of the md5-ordered top-k
+    per (lang, band) stratum."""
+    import collections
+    import hashlib
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    df = q.q_stratified_sample(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    got = {
+        (r["lang"], r["band"], r["doc_id"], r["samp_rank"])
+        for r in df.collect()
+    }
+    rows = q.load(spark, sf, "documents").select("doc_id", "lang", "text").collect()
+    lo, hi = q.STRATA_BANDS
+    strata = collections.defaultdict(list)
+    for r in rows:
+        n_tok = len([t for t in __import__("re").split(r"\s+", r["text"]) if t])
+        band = "short" if n_tok < lo else ("medium" if n_tok < hi else "long")
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        strata[(r["lang"], band)].append((key, r["doc_id"]))
+    want = set()
+    for (lang, band), members in strata.items():
+        for rank, (_, did) in enumerate(sorted(members)[: q.STRATA_K], start=1):
+            want.add((lang, band, did, rank))
+    assert got == want
+    assert any(len(v) > q.STRATA_K for v in strata.values())  # k actually bites

@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q.q_text_quality,
         "domain_quota_topk": q.q_domain_quota_topk,
         # windows / relational coverage. NOTE: the r4 driver gated 50 of
-        # the then-52 entries (the surface is 55 as of r5), skipping
+        # the then-52 entries, skipping
         # orders_by_priority_month and nation_revenue (both DO have
         # oracle_sql entries below); their transport-strict oracle compare
         # is pinned locally in tests/test_driver_gate_leftovers.py so the

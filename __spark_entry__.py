@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup_replay": q.q_stream_near_dedup_replay,
         "stream_exact_dedup_replay": q.q_stream_exact_dedup_replay,
         "simhash_clusters": q.q_simhash_clusters,
+        "dedup_cluster_stats": q.q_dedup_cluster_stats,
         "dedup_keep_list": q.q_dedup_keep_list,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         # radius search by contract, so the same oracle applies
         "probe_session_search": o.sql_simhash_radius_search(SEARCH_RADIUS),
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
+        "dedup_cluster_stats": o.sql_dedup_cluster_stats(SIMHASH_RADIUS),
         "dedup_keep_list": o.sql_dedup_keep_list(SIMHASH_RADIUS),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1

@@ -158,6 +158,42 @@ reach (src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
 
 
+def sql_dedup_cluster_stats(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_dedup_cluster_stats: the recursive-CTE
+    cluster assignment of sql_simhash_clusters, folded into the size
+    histogram (clusters per size, docs per size, removable duplicates).
+    Counts stay BIGINT (the transport-strict HUGEINT discipline)."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH RECURSIVE {cte_simhash(table)},
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach (src, dst) AS (
+    SELECT doc_id, doc_id FROM sh
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+clusters AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+sizes AS (
+    SELECT cluster_id, count(*)::BIGINT AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       (count(*) * cluster_size)::BIGINT AS n_docs,
+       (count(*) * (cluster_size - 1))::BIGINT AS n_removable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+
+
 def sql_dedup_keep_list(radius: int, table: str = "documents", blacklist=(0,)) -> str:
     """Oracle for plans/queries.q_dedup_keep_list: exact (md5 text) and near
     (SimHash Hamming <= radius, degenerate-blacklisted) duplicate edges closed

@@ -147,6 +147,33 @@ def q_simhash_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """The dedup report every pipeline prints after clustering: the cluster
+    SIZE DISTRIBUTION — for each cluster size, how many clusters and docs it
+    accounts for, plus the duplicates-removable count (docs minus one keeper
+    per cluster). A7 histogram inversion applied to the union-find output
+    (reference's match-count reporting, ProcessArchive.py:264-300, lifted to
+    cluster granularity).
+
+    Plan shape at 10^12 docs: clusters (the CC loop's output, already keyed
+    by cluster_id rows) -> groupBy(cluster_id) count (one partial-aggregated
+    exchange) -> groupBy(size) (second exchange over <= n_distinct_sizes
+    keys — tiny by construction: sizes are a near-geometric tail). Both
+    aggregations are partial-aggregated; nothing driver-side."""
+    sizes = (
+        q_simhash_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
 def q_dedup_keep_list(spark, sf_dir):
     """C1 decision surface as a gated table: the per-doc keep/drop verdict an
     LLM-data pipeline consumes. Exact (md5 text hash) and near (banded

@@ -189,3 +189,26 @@ def test_fast_path_gate_respects_cap(spark):
         for r in connected_components(e, small_graph_cap=5).collect()
     }
     assert capped == {i: 0 for i in range(21)}
+
+
+def test_dedup_cluster_stats_inverts_clusters(spark):
+    """The size histogram must be exactly the inversion of the gated cluster
+    assignment: n_clusters/n_docs/n_removable per size recomputed in Python
+    from q_simhash_clusters' output, and the doc total must conserve."""
+    import collections
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    clusters = q.q_simhash_clusters(spark, sf).collect()
+    by_cluster = collections.Counter(r["cluster_id"] for r in clusters)
+    by_size = collections.Counter(by_cluster.values())
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removable"])
+        for r in q.q_dedup_cluster_stats(spark, sf).collect()
+    }
+    want = {
+        size: (n, n * size, n * (size - 1)) for size, n in by_size.items()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == len(clusters)

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is pinned locally in tests/test_driver_gate_leftovers.py so the
         # gate-vs-surface delta is documented, not drift.
         "user_sessions": q.q_user_sessions,
+        "stream_sessions_replay": q.q_stream_sessions_replay,
         "events_hourly_rate": q.q_events_hourly_rate,
         "crawl_rate_hourly": q.q_crawl_rate_hourly,
         "orders_by_priority_month": q.q_orders_by_priority_month,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
             q.DOMAIN_QUOTA_K,
         ),
         "user_sessions": o.sql_user_sessions(1800),
+        "stream_sessions_replay": o.sql_stream_sessions(1800),
         "events_hourly_rate": o.sql_events_hourly_rate(),
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),

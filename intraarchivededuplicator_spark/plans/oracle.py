@@ -1505,8 +1505,13 @@ ORDER BY source"""
 def sql_user_sessions(gap_sec: int = 1800) -> str:
     return f"""
 WITH w AS (
-    SELECT user_id, event_id, epoch(ts)::BIGINT AS es,
-           lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    SELECT user_id, event_id,
+           -- floor, not ::BIGINT alone: the cast ROUNDS fractional seconds
+           -- and the Spark side (epoch_seconds_tz_free) floors, so a
+           -- half-second fraction at a gap boundary could flip the verdict
+           floor(epoch(ts))::BIGINT AS es,
+           lag(floor(epoch(ts))::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
 )
 SELECT user_id,
@@ -1514,6 +1519,34 @@ SELECT user_id,
            AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM w GROUP BY user_id"""
+
+
+def sql_stream_sessions(gap_sec: int = 1800) -> str:
+    """Oracle for plans/queries.q_stream_sessions_replay: the per-event
+    session assignment as a running max over gap-rule start markers — the
+    same gap rule sql_user_sessions aggregates. The streaming operator's
+    output is a pure function of the input, so the batch window IS its
+    spec (the start-TIME key, not a dense index, is what makes state
+    expiry output-neutral — see streaming/sessionize_stream.py).
+
+    Event time is FLOORED to the second (the replay's landing zone holds
+    timestamp_seconds(floor-epoch) instants): epoch(ts)::BIGINT would
+    ROUND the parquet micros and sit one second ahead of the engine on
+    half-and-up fractions, so the floor is explicit, and the lag window
+    orders by the floored second + event_id exactly like the kernel."""
+    return f"""
+WITH w AS (
+    SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS es,
+           lag(floor(epoch(ts))::BIGINT) OVER (
+               PARTITION BY user_id
+               ORDER BY floor(epoch(ts))::BIGINT, event_id) AS prev
+    FROM events
+)
+SELECT user_id, event_id,
+       max(CASE WHEN prev IS NULL OR es - prev > {gap_sec} THEN es END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_start_sec
+FROM w ORDER BY user_id, event_id"""
 
 
 def sql_nation_revenue() -> str:

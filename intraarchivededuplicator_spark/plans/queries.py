@@ -1407,6 +1407,53 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_stream_sessions_replay(spark, sf_dir):
+    """The STATEFUL STREAMING sessionizer under the hash gate: events
+    replayed as a landing zone, a real availableNow Structured Streaming
+    query runs stream_sessionize (applyInPandasWithState keyed by user_id,
+    two-long state, event-time timeout), and the per-event session
+    assignment comes back keyed by session START time (the expiry-neutral
+    key — see streaming/sessionize_stream.py). Same gap rule as the gated
+    batch q_user_sessions (strict > 1800 s, ties by event_id); the
+    assignment design emits on every arrival, so the replay needs no
+    end-of-stream flush and the DuckDB running-max oracle recomputes it
+    exactly. Event
+    time routes through epoch_seconds_tz_free -> timestamp_seconds, so the
+    landing holds instants and the stream's cast("double") is TZ-free.
+    Landing is ONE file = one ordered micro-batch; multi-batch equivalence
+    is pinned in tests/test_streaming_sessions.py."""
+    import tempfile
+
+    from ..streaming.sessionize_stream import stream_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    landing_df = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.timestamp_seconds(epoch_seconds_tz_free(ev, "ts")).alias("ts"),
+    )
+    landing = tempfile.mkdtemp(prefix="sess_land_")
+    out_dir = tempfile.mkdtemp(prefix="sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    landing_df.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp"
+    ).parquet(landing)
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "event_id", "session_start_sec"
+    )
+
+
 def q_events_hourly_rate(spark, sf_dir):
     """Event-time windowed aggregation (the batch twin of the streaming
     crawl-rate plan, streaming/ingest_stream.crawl_rate): events per hour and

@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinHash family (H3, LSH)
         "minhash_signatures_long": q.q_minhash_signatures_long,
         "minhash_band_pairs": q.q_minhash_band_pairs,
+        "minhash_jaccard_estimate": q.q_minhash_jaccard_estimate,
         # set-similarity + containment (J12)
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "containment_pairs": q.q_containment_pairs,
@@ -186,6 +187,9 @@ def oracle_sql() -> dict[str, str]:
         "match_count_histogram": o.sql_match_count_histogram(SIMHASH_RADIUS),
         "minhash_signatures_long": o.sql_minhash_long(ORACLE_MINHASH, K_SHINGLE),
         "minhash_band_pairs": o.sql_minhash_band_pairs(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
+        ),
+        "minhash_jaccard_estimate": o.sql_minhash_jaccard_estimate(
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
         "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),

@@ -747,6 +747,70 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id ORDER BY id_lo, id_hi"""
 
 
+def sql_minhash_jaccard_estimate(
+    params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int,
+    table: str = "documents",
+) -> str:
+    """Oracle for plans/queries.q_minhash_jaccard_estimate: the band-pair
+    candidates (sql_minhash_band_pairs arithmetic), per-component equality
+    count over the full signature, exact distinct-shingle Jaccard, and
+    their absolute error — est/exact computed from the same raw integer
+    terms in both engines before the one round6."""
+    n_perm = len(params.a)
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(zip(params.a, params.b))
+    )
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+sh_h AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing),
+params (i, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT doc_id, i, min((a * h + b) % {MINHASH_PRIME}) AS v
+    FROM sh_h CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {rows_per_band} AS band_id,
+           string_agg(v, ',' ORDER BY i) AS band_key
+    FROM mh WHERE i < {n_bands * rows_per_band}
+    GROUP BY doc_id, i // {rows_per_band}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+eqc AS (
+    SELECT p.id_lo, p.id_hi,
+           sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END)::BIGINT AS n_eq
+    FROM pairs p
+    JOIN mh ma ON ma.doc_id = p.id_lo
+    JOIN mh mb ON mb.doc_id = p.id_hi AND mb.i = ma.i
+    GROUP BY p.id_lo, p.id_hi
+),
+szs AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh_h GROUP BY doc_id),
+inter AS (
+    SELECT p.id_lo, p.id_hi, count(*)::BIGINT AS n_int
+    FROM pairs p
+    JOIN sh_h a ON a.doc_id = p.id_lo
+    JOIN sh_h b ON b.doc_id = p.id_hi AND b.h = a.h
+    GROUP BY p.id_lo, p.id_hi
+)
+SELECT e.id_lo, e.id_hi,
+       round(e.n_eq / {float(n_perm)}, 6) + 0.0 AS est_jaccard,
+       round(coalesce(i.n_int, 0)::DOUBLE
+             / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) + 0.0 AS exact_jaccard,
+       round(abs(e.n_eq / {float(n_perm)}
+                 - coalesce(i.n_int, 0)::DOUBLE
+                   / (sa.n + sb.n - coalesce(i.n_int, 0))), 6) + 0.0 AS abs_err
+FROM eqc e
+LEFT JOIN inter i ON i.id_lo = e.id_lo AND i.id_hi = e.id_hi
+JOIN szs sa ON sa.doc_id = e.id_lo
+JOIN szs sb ON sb.doc_id = e.id_hi
+ORDER BY e.id_lo, e.id_hi"""
+
+
 def sql_minhash_pairs_cross_source(
     params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int
 ) -> str:

@@ -361,6 +361,69 @@ def q_minhash_band_pairs(spark, sf_dir):
     ).select("id_lo", "id_hi", "n_shared_bands")
 
 
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch calibration under the hash gate: for every MinHash band
+    candidate pair, the sketch's Jaccard ESTIMATE (fraction of equal
+    signature components) next to the EXACT shingle-set Jaccard and their
+    absolute error — the measurement that justifies trusting the sketch at
+    a scale where exact verification is unaffordable (and the verify step
+    itself when it is: joining the two docs' distinct-shingle sets per
+    surviving pair is the standard LSH re-rank).
+
+    Plan shape: candidates from the banded self-join; signatures and
+    shingle sets re-joined only for survivors (two shuffle-hash joins on
+    the pair ids, the ann_topk discipline). est denominator 16 = 2^4, so
+    round6 of the estimate is exact in both engines; the exact Jaccard
+    divides the same integers in both."""
+    from ..functions.udfs import make_minhash_udf, make_shingle_hashes_udf
+
+    n_perm = len(ORACLE_MINHASH.a)
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    shu = make_shingle_hashes_udf(K_SHINGLE)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            mh(F.col("text")).alias("minhash"),
+            shu(F.col("text")).alias("shset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = minhash_candidate_pairs(
+        d, "doc_id", "minhash", n_bands=4, rows_per_band=4
+    ).select("id_lo", "id_hi")
+    a = d.select(
+        F.col("doc_id").alias("id_lo"),
+        F.col("minhash").alias("mh_a"),
+        F.col("shset").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_hi"),
+        F.col("minhash").alias("mh_b"),
+        F.col("shset").alias("sh_b"),
+    )
+    n_eq = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_int = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_uni = F.size("sh_a") + F.size("sh_b") - n_int
+    est = n_eq / F.lit(float(n_perm))
+    exact = n_int / n_uni
+    return (
+        cand.join(a.hint("shuffle_hash"), "id_lo")
+        .join(b.hint("shuffle_hash"), "id_hi")
+        .select(
+            "id_lo",
+            "id_hi",
+            (F.round(est, 6) + F.lit(0.0)).alias("est_jaccard"),
+            (F.round(exact, 6) + F.lit(0.0)).alias("exact_jaccard"),
+            (F.round(F.abs(est - exact), 6) + F.lit(0.0)).alias("abs_err"),
+        )
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark, sf_dir):

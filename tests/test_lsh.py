@@ -87,3 +87,41 @@ def test_hot_cap_matches_reference_filter(sig_df):
     assert all(
         not (lo in mega and hi in mega) for lo, hi, _ in got
     ), "hot cap must suppress mega-bucket pair explosion"
+
+
+def test_minhash_jaccard_estimate_planted(spark, tmp_path):
+    """Calibration pins on a planted corpus: identical docs must report
+    est = exact = 1.0 with zero error; a partial-overlap pair must report
+    the true shingle Jaccard in exact_jaccard and an estimate within the
+    sketch's granularity (multiples of 1/16); disjoint docs share no band
+    and never appear."""
+    from intraarchivededuplicator_spark.plans.queries import (
+        q_minhash_jaccard_estimate,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"            # 4 distinct 5-shingles
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                          # exact twin of 0
+        (2, base + " w9 w10", "en"),              # superset: J = 4/6
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8", "en"),     # disjoint from all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["id_lo"], r["id_hi"]): (
+            r["est_jaccard"], r["exact_jaccard"], r["abs_err"]
+        )
+        for r in q_minhash_jaccard_estimate(spark, sf_dir).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == (1.0, 1.0, 0.0)
+    assert all(3 not in pair for pair in got)
+    for pair in [(0, 2), (1, 2)]:
+        if pair in got:  # candidate iff >= 1 band agrees (probabilistic)
+            est, exact, err = got[pair]
+            assert exact == round(4 / 6, 6)
+            assert est in {round(i / 16, 6) for i in range(17)}
+            assert err == round(abs(est - 4 / 6), 6)

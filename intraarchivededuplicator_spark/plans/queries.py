@@ -253,9 +253,10 @@ def q_incremental_near_pairs(spark, sf_dir):
     cost scales with |new|, not |corpus|^2. Same radius/banding/blacklist
     as simhash_radius_pairs, hence the oracle is exactly that query's rows
     restricted to pairs with >= 1 new side. Covers the reference's
-    incremental re-scan + insertPhash flow (dbPhashApi.py:88-115: new items
-    are hashed and searched against the resident BK-tree, existing items
-    are not re-paired) as one set-oriented job."""
+    incremental flow — new items are hashed and searched against the
+    RESIDENT index (/root/reference/loader.py:79-88 builds it once;
+    /root/reference/dbPhashApi.py:106-118 is the per-insert tree hook),
+    existing items are never re-paired — as one set-oriented job."""
     d = docs_with_sig(spark, sf_dir).filter(F.col("simhash") != 0)
     is_new = (F.col("doc_id") % INCR_NEW_MOD) == 0
     old, new = d.filter(~is_new), d.filter(is_new)

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q.q_token_stats_bpe,
         "lang_top_terms": q.q_lang_top_terms,
         "langid_heuristic": q.q_langid_heuristic,
+        "langid_confusion": q.q_langid_confusion,
         "doc_fingerprint": q.q_doc_fingerprint,
         "contamination_overlap": q.q_contamination_overlap,
         "url_canonicalize": q.q_url_canonicalize,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_bpe": o.sql_token_stats_bpe(),
         "lang_top_terms": o.sql_lang_top_terms(),
         "langid_heuristic": o.sql_langid_heuristic(LANG_MARKERS),
+        "langid_confusion": o.sql_langid_confusion(LANG_MARKERS),
         "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),
         "contamination_overlap": o.sql_contamination_overlap(
             K_SHINGLE, q.CONTAM_PROBE_MOD

@@ -1075,6 +1075,26 @@ SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_guess, score
 FROM ranked WHERE rn = 1"""
 
 
+def sql_langid_confusion(markers: dict[str, list[str]]) -> str:
+    """Oracle for plans/queries.q_langid_confusion: the langid arithmetic of
+    sql_langid_heuristic joined back to the corpus labels, aggregated to the
+    confusion matrix with per-label shares."""
+    base = sql_langid_heuristic(markers)
+    return f"""
+WITH pred AS ({base}),
+cells AS (
+    SELECT d.lang, p.lang_guess, count(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_guess
+),
+tot AS (SELECT lang, sum(n_docs)::BIGINT AS t FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_guess, c.n_docs,
+       round(c.n_docs::DOUBLE / t.t, 6) + 0.0 AS label_share,
+       (c.lang = c.lang_guess) AS is_correct
+FROM cells c JOIN tot t ON t.lang = c.lang
+ORDER BY c.lang, c.lang_guess"""
+
+
 def sql_doc_fingerprint(k_shingle: int = 5) -> str:
     return f"""
 WITH {cte_shingles(k_shingle, 'documents')},

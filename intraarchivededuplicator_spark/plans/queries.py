@@ -574,6 +574,32 @@ def q_langid_heuristic(spark, sf_dir):
     )
 
 
+def q_langid_confusion(spark, sf_dir):
+    """The language-ID evaluation every corpus pipeline reports: the
+    labeled-vs-predicted confusion matrix — per (lang, lang_guess) cell,
+    doc count and the per-label share it represents. Composes the gated
+    q_langid_heuristic with the corpus labels; one partial-aggregated
+    groupBy over <= |langs|^2+|langs| cells plus a broadcast-sized label
+    total join — nothing here grows with the corpus except the map side."""
+    labels = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = q_langid_heuristic(spark, sf_dir).select("doc_id", "lang_guess")
+    cells = (
+        labels.join(pred.hint("shuffle_hash"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        (F.round(F.col("n_docs") / F.col("_tot"), 6) + F.lit(0.0)).alias(
+            "label_share"
+        ),
+        (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min shingle hash + distinct-shingle count."""
     from ..operators.containment import _shingle_hashes32

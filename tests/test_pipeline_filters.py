@@ -311,3 +311,33 @@ def test_stratified_sample_plan_and_values(spark):
             want.add((lang, band, did, rank))
     assert got == want
     assert any(len(v) > q.STRATA_K for v in strata.values())  # k actually bites
+
+
+def test_langid_confusion_conserves_and_inverts(spark):
+    """The confusion matrix must be the exact inversion of the two gated
+    parents (labels x q_langid_heuristic): cells recomputed in Python,
+    per-label shares summing to 1, doc totals conserved."""
+    import collections
+
+    from intraarchivededuplicator_spark.plans import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["doc_id"]: r["lang"]
+        for r in q.load(spark, sf, "documents").select("doc_id", "lang").collect()
+    }
+    pred = {
+        r["doc_id"]: r["lang_guess"]
+        for r in q.q_langid_heuristic(spark, sf).collect()
+    }
+    want = collections.Counter((labels[d], pred[d]) for d in labels)
+    got = {}
+    shares = collections.defaultdict(float)
+    for r in q.q_langid_confusion(spark, sf).collect():
+        got[(r["lang"], r["lang_guess"])] = r["n_docs"]
+        shares[r["lang"]] += r["label_share"]
+        assert r["is_correct"] == (r["lang"] == r["lang_guess"])
+    assert got == dict(want)
+    assert sum(got.values()) == len(labels)
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-5, (lang, s)

@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_long": q.q_minhash_signatures_long,
         "minhash_band_pairs": q.q_minhash_band_pairs,
         "minhash_jaccard_estimate": q.q_minhash_jaccard_estimate,
+        "minhash_dedup_clusters": q.q_minhash_dedup_clusters,
         # set-similarity + containment (J12)
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "containment_pairs": q.q_containment_pairs,
@@ -79,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest_snapshot": q.q_url_latest_snapshot,
         "url_revisit_diff": q.q_url_revisit_diff,
         "doc_repetition_stats": q.q_doc_repetition_stats,
+        "dup_gram_stats": q.q_dup_gram_stats,
+        "length_quantiles": q.q_length_quantiles,
         # line-level web pipeline (CCNet-style)
         "line_dup_stats": q.q_line_dup_stats,
         "boilerplate_strip": q.q_boilerplate_strip,
@@ -193,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_estimate": o.sql_minhash_jaccard_estimate(
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
+        "minhash_dedup_clusters": o.sql_minhash_dedup_clusters(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
+        ),
         "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),
         "containment_pairs": o.sql_containment_pairs(K_SHINGLE),
         "containment_pairs_winnowed": o.sql_containment_pairs(K_SHINGLE),
@@ -206,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
             K_SHINGLE, q.CONTAM_PROBE_MOD
         ),
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
+        "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
+        "length_quantiles": o.sql_length_quantiles(),
         "url_canonicalize": o.sql_url_canonicalize(),
         "url_latest_snapshot": o.sql_url_latest_snapshot(),
         "url_revisit_diff": o.sql_url_revisit_diff(),

@@ -543,6 +543,46 @@ FROM occ o JOIN dfh USING (line_hash)
 GROUP BY 1 ORDER BY 1"""
 
 
+def sql_dup_gram_stats(k_shingle: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_dup_gram_stats: per-doc distinct-shingle
+    count, the subset whose corpus doc-frequency >= 2, and their ratio.
+    Groups by the gram STRING where the engine groups by md5(gram) — an
+    independent formulation that also pins the engine's 16-byte hash key
+    collision-free on the gated corpora."""
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing),
+dfg AS (SELECT s, count(*)::BIGINT AS df_docs FROM sd GROUP BY s)
+SELECT sd.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       round(sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS dup_gram_ratio
+FROM sd JOIN dfg USING (s)
+GROUP BY sd.doc_id ORDER BY sd.doc_id"""
+
+
+def sql_length_quantiles(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_length_quantiles: per-lang exact discrete
+    quantiles of n_chars via the identical BIGINT position arithmetic
+    `(n*q + 99) // 100` over a (n_chars, doc_id)-ordered row_number."""
+    def pick(q: int) -> str:
+        return (
+            f"max(CASE WHEN rn = (n * {q} + 99) // 100 "
+            f"THEN n_chars END)::BIGINT AS p{q}"
+        )
+
+    return f"""
+WITH r AS (
+    SELECT lang, n_chars::BIGINT AS n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM {table}
+)
+SELECT lang, max(n)::BIGINT AS n_docs,
+       {pick(25)}, {pick(50)}, {pick(75)}, {pick(95)}
+FROM r GROUP BY lang ORDER BY lang"""
+
+
 def sql_boilerplate_strip(table: str = "documents") -> str:
     """Oracle for plans/queries.q_boilerplate_strip: drop lines with corpus
     doc-frequency >= BOILERPLATE_DF, rebuild each doc in line order
@@ -745,6 +785,48 @@ SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id ORDER BY id_lo, id_hi"""
+
+
+def sql_minhash_dedup_clusters(
+    params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int,
+    table: str = "documents",
+) -> str:
+    """Oracle for plans/queries.q_minhash_dedup_clusters: the band-pair
+    edges of sql_minhash_band_pairs closed into connected components via a
+    recursive CTE (the sql_simhash_clusters shape); every doc — including
+    degenerate no-shingle docs, which band nowhere — gets a cluster
+    (singletons = own id)."""
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(zip(params.a, params.b))
+    )
+    return f"""
+WITH RECURSIVE {cte_shingles(k_shingle, table)},
+sh_h AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing),
+params (i, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT doc_id, i, min((a * h + b) % {MINHASH_PRIME}) AS v
+    FROM sh_h CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {rows_per_band} AS band_id,
+           string_agg(v, ',' ORDER BY i) AS band_key
+    FROM mh WHERE i < {n_bands * rows_per_band}
+    GROUP BY doc_id, i // {rows_per_band}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach (src, dst) AS (
+    SELECT doc_id, doc_id FROM {table}
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
 
 
 def sql_minhash_jaccard_estimate(

@@ -425,6 +425,33 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH dedup clusters — the third member of the clustering trio
+    (exact md5 groups, SimHash banded Hamming, MinHash banded Jaccard), so
+    every signature family the engine computes also closes into the
+    union-find the keep-list consumes. Band candidates from the SAME
+    geometry the gated `minhash_band_pairs` uses (4 bands x 4 rows); docs
+    with no shingles (null signature) are excluded from banding by the LSH
+    operator and come back as singletons via assign_clusters' left join.
+
+    Plan shape at 10^12 docs: signature kernel (map-only) -> banded
+    self-join (one exchange on band keys, hot-cap-able) -> connected
+    components (bounded driver union-find under SMALL_GRAPH_CAP, else the
+    alternating-star loop) -> one shuffle-hash join back to the corpus ids.
+    Identical shape to q_simhash_clusters; only the edge generator differs.
+    """
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", mh(F.col("text")).alias("minhash")
+    )
+    pairs = minhash_candidate_pairs(
+        d, "doc_id", "minhash", n_bands=4, rows_per_band=4
+    )
+    return assign_clusters(d.select(F.col("doc_id").alias("id")), pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -512,6 +539,41 @@ def q_doc_stats(spark, sf_dir):
         F.round(
             F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1)), 6
         ).alias("distinct_ratio"),
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact discrete quantiles (p25/p50/p75/p95) of document length per
+    lang — the corpus-profiling read every pipeline runs before picking
+    length-filter thresholds. Discrete (type-1) quantile: the value at row
+    position ceil(q*n) in (n_chars, doc_id) order, computed with pure
+    BIGINT arithmetic `(n*q + 99) DIV 100` so both engines pick the
+    identical row — no interpolation, no floats anywhere.
+
+    Plan shape: ONE exchange (the per-lang window sort); the final
+    groupBy(lang) reuses the window's hash partitioning. At 10^12 docs a
+    per-lang full sort is the exact-answer cost floor — production would
+    swap percentile_approx (t-digest) for the same output shape; this
+    query IS the oracle that calibrates that sketch."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def pick(q: int):
+        pos = F.expr(f"(n * {q} + 99) DIV 100")
+        return F.max(F.when(F.col("rn") == pos, F.col("n_chars"))).alias(
+            f"p{q}"
+        )
+
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), pick(25), pick(50), pick(75), pick(95)
     )
 
 
@@ -841,6 +903,48 @@ def q_doc_repetition_stats(spark, sf_dir):
         (F.round(F.col("dup_3gram") / F.col("n_3grams"), 6) + F.lit(0.0)).alias(
             "dup_3gram_frac"
         ),
+    )
+
+
+def q_dup_gram_stats(spark, sf_dir):
+    """Cross-doc duplicated-shingle coverage (the Lee et al. 2022 /
+    RefinedWeb "duplicate fraction" signal, at shingle granularity): per
+    doc, its distinct K_SHINGLE-token shingles, how many of them occur in
+    >= 2 corpus docs, and the ratio. Complements doc_repetition_stats
+    (WITHIN-doc repetition) and line_dup_stats (line granularity) — this is
+    the corpus-wide gram-df signal the exact-substring dedup stage
+    thresholds on.
+
+    Plan shape at 10^12 docs: shingle kernel (map-only, distinct per doc)
+    -> md5-hash each shingle to 16 bytes so the exchange never carries gram
+    text (the line_dup_stats wire discipline) -> ONE partial-aggregated
+    exchange for df per gram hash -> shuffle join occurrences x df on the
+    16-byte key (no broadcast assumption: the duplicated-gram set is
+    unbounded) -> per-doc aggregation. Docs with < K_SHINGLE tokens emit no
+    row (signature-query convention)."""
+    from ..functions.shingle_kernel import distinct_shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = distinct_shingles(d, K_SHINGLE).select(
+        "doc_id", F.unhex(F.md5("s")).alias("g")
+    )
+    df_g = occ.groupBy("g").agg(F.count("*").alias("df_docs"))
+    return (
+        occ.join(df_g, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df_docs") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+                + F.lit(0.0)
+            ).alias("dup_gram_ratio"),
+        )
     )
 
 

@@ -1,0 +1,134 @@
+"""First-principles pins for the corpus-profiling queries added in round 5:
+dup_gram_stats (cross-doc duplicated-shingle coverage), length_quantiles
+(exact discrete per-lang quantiles) and minhash_dedup_clusters (the third
+member of the clustering trio). Each is recomputed in pure Python from the
+sf0.001 parquet, independent of both the Spark plan and the DuckDB oracle."""
+
+import pandas as pd
+import pytest
+
+from intraarchivededuplicator_spark.functions.hashing import (
+    minhash_sig,
+    shingles,
+    tokenize,
+)
+from intraarchivededuplicator_spark.plans import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_dup_gram_stats_first_principles(spark):
+    """Per-doc distinct K_SHINGLE grams, corpus df, dup count + ratio — all
+    recomputed from the raw text with the documented Python twins of the
+    engine's kernel."""
+    pdf = _docs()[["doc_id", "text"]]
+    per_doc: dict[int, set[str]] = {}
+    for r in pdf.itertuples():
+        gs = set(shingles(tokenize(r.text), q.K_SHINGLE))
+        if gs:
+            per_doc[int(r.doc_id)] = gs
+    df: dict[str, int] = {}
+    for gs in per_doc.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    want = {
+        d: (len(gs), sum(1 for g in gs if df[g] >= 2))
+        for d, gs in per_doc.items()
+    }
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_gram_ratio"])
+        for r in q.q_dup_gram_stats(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, dup) in want.items():
+        gn, gd, gr = got[d]
+        assert (gn, gd) == (n, dup), d
+        assert gr == pytest.approx(round(dup / n, 6))
+    # the corpus must exercise both sides of the df>=2 predicate
+    assert any(dup > 0 for _, dup in want.values())
+    assert any(dup < n for n, dup in want.values())
+
+
+def test_length_quantiles_first_principles(spark):
+    """Discrete quantile = value at BIGINT position (n*q+99)//100 in
+    (n_chars, doc_id) order, recomputed per lang with plain sorting."""
+    pdf = _docs()[["lang", "doc_id", "n_chars"]]
+    want = {}
+    for lang, grp in pdf.groupby("lang"):
+        vals = grp.sort_values(["n_chars", "doc_id"])["n_chars"].tolist()
+        n = len(vals)
+        want[lang] = (
+            n,
+            *[vals[(n * qq + 99) // 100 - 1] for qq in (25, 50, 75, 95)],
+        )
+
+    got = {
+        r["lang"]: (r["n_docs"], r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in q.q_length_quantiles(spark, SF).collect()
+    }
+    assert got == want
+    # sanity: quantiles are monotone and within the per-lang extent
+    for lang, (n, p25, p50, p75, p95) in got.items():
+        assert p25 <= p50 <= p75 <= p95
+
+
+def _py_union_find(n_ids, edges):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru > rv:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {i: find(i) for i in n_ids}
+
+
+def test_minhash_dedup_clusters_composition(spark):
+    """Clusters == union-find over the engine's own band-candidate pairs,
+    with every doc (including degenerate no-shingle docs, which band
+    nowhere) present exactly once; singletons keep their own id."""
+    pdf = _docs()[["doc_id", "text"]]
+    all_ids = [int(x) for x in pdf.doc_id]
+
+    # recompute the band pairs from first principles via the documented
+    # Python twin of the signature kernel
+    sigs = {
+        int(r.doc_id): minhash_sig(r.text, q.K_SHINGLE, q.ORACLE_MINHASH)
+        for r in pdf.itertuples()
+    }
+    bands: dict[tuple[int, tuple], list[int]] = {}
+    for d, sig in sigs.items():
+        if sig is None:
+            continue
+        for b in range(4):
+            key = (b, tuple(sig[b * 4 : (b + 1) * 4]))
+            bands.setdefault(key, []).append(d)
+    edges = set()
+    for members in bands.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                edges.add((ms[i], ms[j]))
+
+    want = _py_union_find(all_ids, sorted(edges))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q.q_minhash_dedup_clusters(spark, SF).collect()
+    }
+    assert got == want
+    # the corpus must actually produce multi-member minhash clusters
+    assert len(set(want.values())) < len(all_ids)

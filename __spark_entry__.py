@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q.q_doc_repetition_stats,
         "dup_gram_stats": q.q_dup_gram_stats,
         "length_quantiles": q.q_length_quantiles,
+        "domain_link_graph": q.q_domain_link_graph,
+        "doc_salient_terms": q.q_doc_salient_terms,
         # line-level web pipeline (CCNet-style)
         "line_dup_stats": q.q_line_dup_stats,
         "boilerplate_strip": q.q_boilerplate_strip,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
         "length_quantiles": o.sql_length_quantiles(),
+        "domain_link_graph": o.sql_domain_link_graph(),
+        "doc_salient_terms": o.sql_doc_salient_terms(),
         "url_canonicalize": o.sql_url_canonicalize(),
         "url_latest_snapshot": o.sql_url_latest_snapshot(),
         "url_revisit_diff": o.sql_url_revisit_diff(),

@@ -543,6 +543,61 @@ FROM occ o JOIN dfh USING (line_hash)
 GROUP BY 1 ORDER BY 1"""
 
 
+def sql_domain_link_graph(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_domain_link_graph: synthesize the
+    byte-identical anchor html (queries._planted_link_html twin), extract
+    outlink hosts with DuckDB's own regexp_extract_all, aggregate to
+    domain-level edges. n (doc_id % 4) counts down through the j=0..2
+    anchor slots exactly like the Spark plant's per-slot F.when."""
+    anchors = []
+    for j in range(3):
+        anchors.append(
+            f"CASE WHEN doc_id % 4 > {j} THEN "
+            f"'<a href=\"http://site' || ((doc_id * 7 + {j} * 13) % 20) "
+            f"|| '.example.com/p/' || doc_id || '\">link</a>' ELSE '' END"
+        )
+    return f"""
+WITH pages AS (
+    SELECT doc_id,
+           'site' || (doc_id % 20) || '.example.com' AS src_domain,
+           {anchors[0]} || '<p>' || text || '</p>' || {anchors[1]} || {anchors[2]}
+               AS html
+    FROM {table}
+),
+edges AS (
+    SELECT doc_id, src_domain, t.dst AS dst_domain
+    FROM pages,
+         unnest(regexp_extract_all(html, 'href="http://([a-z0-9.]+)/', 1))
+             AS t(dst)
+)
+SELECT src_domain, dst_domain,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT doc_id)::BIGINT AS n_pages
+FROM edges GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sql_doc_salient_terms(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_doc_salient_terms: per-doc top-3 tokens by
+    tf/df (single IEEE division of the same BIGINTs — bit-identical across
+    engines), ties token-ascending."""
+    return f"""
+WITH {cte_tokens(table)},
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (
+    SELECT doc_id, tok, tf, df, tf::DOUBLE / df AS score
+    FROM tf JOIN dft USING (tok)
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok
+    ) AS rn FROM s
+)
+SELECT doc_id, tok AS token, tf, df,
+       round(score, 6) + 0.0 AS salience, rn::INT AS rank
+FROM r WHERE rn <= 3 ORDER BY doc_id, rank"""
+
+
 def sql_dup_gram_stats(k_shingle: int, table: str = "documents") -> str:
     """Oracle for plans/queries.q_dup_gram_stats: per-doc distinct-shingle
     count, the subset whose corpus doc-frequency >= 2, and their ratio.

@@ -609,6 +609,43 @@ def q_lang_top_terms(spark, sf_dir):
     )
 
 
+def q_doc_salient_terms(spark, sf_dir):
+    """Per-doc keyword extraction (TF-IDF-style): top-3 tokens by salience
+    = tf/df — term frequency in the doc over corpus document frequency.
+    The score is a SINGLE IEEE double division of two BIGINTs, which both
+    engines round identically (unlike ln-idf, where libm vs java.lang.Math
+    can differ in the last ulp and flip a rank at the round6 boundary —
+    production would swap tf*ln(N/df) behind the same shape). Ties break
+    token-ascending.
+
+    Plan shape at 10^12 docs: explode -> (doc, token) tf (one exchange) ->
+    token df (second exchange over the vocab, partial-aggregated: df rows
+    are one per distinct token) -> shuffle join tf x df on token (AQE
+    skew-split handles stopword-heavy keys; the df side is vocab-sized,
+    never broadcast-assumed) -> per-doc top-3 window, which plans a PARTIAL
+    WindowGroupLimit below its exchange so each map task forwards at most
+    3 rows per doc."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    score = F.col("tf") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))
+    return (
+        tf.join(dft, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.round(score, 6) + F.lit(0.0)).alias("salience"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def q_langid_heuristic(spark, sf_dir):
     """Marker-token language guess; all-zero -> 'und'; ties -> lang asc."""
     d = load(spark, sf_dir, "documents")
@@ -874,6 +911,77 @@ def q_contamination_overlap(spark, sf_dir):
         .groupBy(F.col("doc_id").alias("corpus_id"), "probe_id")
         .agg(F.count("*").alias("n_shared"))
         .select("corpus_id", "probe_id", "n_shared")
+    )
+
+
+LINK_DOMAINS = 20  # matches the _planted_urls host universe (site0..site19)
+
+
+def _planted_link_html(d):
+    """(doc_id) -> (doc_id, src_domain, html): each doc is hosted on
+    site{doc_id % 20}.example.com and its html carries doc_id % 4 anchor
+    tags (0..3 — zero-link docs are part of the spec) pointing at
+    site{(doc_id*7 + j*13) % 20}.example.com, j = 0..n-1, with the doc text
+    wrapped in <p> between them as extraction noise. Arithmetic-only so the
+    DuckDB oracle synthesizes byte-identical html (oracle._LINK_PLANT);
+    self-loops (target domain == source domain) occur by construction and
+    are kept — internal links are real links."""
+    did = F.col("doc_id")
+    n = did % 4
+
+    def anchor(j: int):
+        tgt = (did * 7 + j * 13) % LINK_DOMAINS
+        return F.when(
+            n > j,
+            F.concat(
+                F.lit('<a href="http://site'),
+                tgt.cast("string"),
+                F.lit('.example.com/p/'),
+                did.cast("string"),
+                F.lit('">link</a>'),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        anchor(0), F.lit("<p>"), F.col("text"), F.lit("</p>"), anchor(1), anchor(2)
+    )
+    src = F.concat(
+        F.lit("site"), (did % LINK_DOMAINS).cast("string"),
+        F.lit(".example.com"),
+    )
+    return d.select("doc_id", src.alias("src_domain"), html.alias("html"))
+
+
+def q_domain_link_graph(spark, sf_dir):
+    """The web-graph edge table a crawl pipeline derives before any ranking
+    or spam scoring: extract every outlink host from raw page HTML
+    (regexp over the payload — href targets planted by construction, see
+    _planted_link_html) and aggregate to domain-level edges with link and
+    distinct-source-page counts. The DuckDB oracle extracts with ITS OWN
+    regexp_extract_all over byte-identical html, so the differential pins
+    the extraction dialect (the pii_scrub discipline).
+
+    Plan shape at 10^12 docs: map-only plant + regexp extract + explode,
+    then ONE partial-aggregated exchange on (src_domain, dst_domain) — the
+    domain-pair key space is quadratically smaller than the page space, so
+    partial aggregation collapses almost everything map-side. count vs
+    countDistinct(doc_id) share the exchange."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = _planted_link_html(d)
+    edges = pages.select(
+        "doc_id",
+        "src_domain",
+        F.explode(
+            F.regexp_extract_all(
+                "html",
+                F.lit(r'href="http://([a-z0-9.]+)/'),
+                F.lit(1),
+            )
+        ).alias("dst_domain"),
+    )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_pages"),
     )
 
 

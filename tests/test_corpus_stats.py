@@ -4,6 +4,8 @@ dup_gram_stats (cross-doc duplicated-shingle coverage), length_quantiles
 member of the clustering trio). Each is recomputed in pure Python from the
 sf0.001 parquet, independent of both the Spark plan and the DuckDB oracle."""
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 import pytest
 
@@ -75,6 +77,80 @@ def test_length_quantiles_first_principles(spark):
     # sanity: quantiles are monotone and within the per-lang extent
     for lang, (n, p25, p50, p75, p95) in got.items():
         assert p25 <= p50 <= p75 <= p95
+
+
+def test_domain_link_graph_first_principles(spark):
+    """Edge counts recomputed from the arithmetic plant directly (no html,
+    no regex) — pins that the engine's regexp extraction over the planted
+    payload recovers exactly the planted targets, nothing more."""
+    ids = [int(x) for x in _docs().doc_id]
+    want: dict[tuple[str, str], tuple[int, set]] = {}
+    for i in ids:
+        src = f"site{i % 20}.example.com"
+        for j in range(i % 4):
+            dst = f"site{(i * 7 + j * 13) % 20}.example.com"
+            n, pages = want.get((src, dst), (0, set()))
+            pages.add(i)
+            want[(src, dst)] = (n + 1, pages)
+
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_pages"])
+        for r in q.q_domain_link_graph(spark, SF).collect()
+    }
+    assert got == {k: (n, len(p)) for k, (n, p) in want.items()}
+    # the plant must produce zero-link docs (absent), multi-link docs and
+    # self-loops (internal links) so the extraction sees all three shapes
+    assert any(i % 4 == 0 for i in ids)
+    assert any((s == d) for s, d in want)
+
+
+def test_doc_salient_terms_first_principles(spark):
+    """Top-3 tf/df terms recomputed with plain Python dict arithmetic;
+    float score compared exactly (single IEEE division both places)."""
+    pdf = _docs()[["doc_id", "text"]]
+    tf: dict[int, dict[str, int]] = {}
+    for r in pdf.itertuples():
+        m: dict[str, int] = {}
+        for t in tokenize(r.text):
+            m[t] = m.get(t, 0) + 1
+        if m:
+            tf[int(r.doc_id)] = m
+    df: dict[str, int] = {}
+    for m in tf.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for d, m in tf.items():
+        ranked = sorted(
+            ((tok, c, df[tok]) for tok, c in m.items()),
+            key=lambda x: (-(x[1] / x[2]), x[0]),
+        )[:3]
+        # both engines round HALF_UP (Spark F.round / DuckDB round), unlike
+        # Python's banker's round — 3/384 = 0.0078125 must become 0.007813
+        want[d] = [
+            (
+                tok,
+                c,
+                dfv,
+                float(
+                    Decimal(c / dfv).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                + 0.0,
+                i + 1,
+            )
+            for i, (tok, c, dfv) in enumerate(ranked)
+        ]
+
+    got: dict[int, list] = {}
+    for r in q.q_doc_salient_terms(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["token"], r["tf"], r["df"], r["salience"], r["rank"])
+        )
+    for d in got:
+        got[d].sort(key=lambda x: x[4])
+    assert got == want
 
 
 def _py_union_find(n_ids, edges):

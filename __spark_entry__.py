@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_gram_stats": q.q_dup_gram_stats,
         "length_quantiles": q.q_length_quantiles,
         "domain_link_graph": q.q_domain_link_graph,
+        "domain_pagerank": q.q_domain_pagerank,
         "doc_salient_terms": q.q_doc_salient_terms,
         # line-level web pipeline (CCNet-style)
         "line_dup_stats": q.q_line_dup_stats,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
         "length_quantiles": o.sql_length_quantiles(),
         "domain_link_graph": o.sql_domain_link_graph(),
+        "domain_pagerank": o.sql_domain_pagerank(q.PR_SCALE, q.PR_ITERS),
         "doc_salient_terms": o.sql_doc_salient_terms(),
         "url_canonicalize": o.sql_url_canonicalize(),
         "url_latest_snapshot": o.sql_url_latest_snapshot(),

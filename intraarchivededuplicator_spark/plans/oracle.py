@@ -543,12 +543,12 @@ FROM occ o JOIN dfh USING (line_hash)
 GROUP BY 1 ORDER BY 1"""
 
 
-def sql_domain_link_graph(table: str = "documents") -> str:
-    """Oracle for plans/queries.q_domain_link_graph: synthesize the
-    byte-identical anchor html (queries._planted_link_html twin), extract
-    outlink hosts with DuckDB's own regexp_extract_all, aggregate to
-    domain-level edges. n (doc_id % 4) counts down through the j=0..2
-    anchor slots exactly like the Spark plant's per-slot F.when."""
+def _link_plant(table: str = "documents") -> str:
+    """CTEs `pages(doc_id, src_domain, html)` + `edges(doc_id, src_domain,
+    dst_domain)` — the queries._planted_link_html twin: byte-identical
+    anchor html synthesized arithmetically, outlink hosts extracted with
+    DuckDB's own regexp_extract_all. n (doc_id % 4) counts down through the
+    j=0..2 anchor slots exactly like the Spark plant's per-slot F.when."""
     anchors = []
     for j in range(3):
         anchors.append(
@@ -557,7 +557,7 @@ def sql_domain_link_graph(table: str = "documents") -> str:
             f"|| '.example.com/p/' || doc_id || '\">link</a>' ELSE '' END"
         )
     return f"""
-WITH pages AS (
+pages AS (
     SELECT doc_id,
            'site' || (doc_id % 20) || '.example.com' AS src_domain,
            {anchors[0]} || '<p>' || text || '</p>' || {anchors[1]} || {anchors[2]}
@@ -569,11 +569,60 @@ edges AS (
     FROM pages,
          unnest(regexp_extract_all(html, 'href="http://([a-z0-9.]+)/', 1))
              AS t(dst)
-)
+)"""
+
+
+def sql_domain_link_graph(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_domain_link_graph: domain-level edge
+    aggregation over the _link_plant extraction."""
+    return f"""
+WITH {_link_plant(table)}
 SELECT src_domain, dst_domain,
        count(*)::BIGINT AS n_links,
        count(DISTINCT doc_id)::BIGINT AS n_pages
 FROM edges GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sql_domain_pagerank(
+    scale: int, iters: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_domain_pagerank: the identical fixed-point
+    BIGINT recurrence unrolled as chained CTEs — rank r0 = scale // n, each
+    round r_{{k+1}}(v) = scale*15 // (100*n) + sum over in-edges of
+    (r_k(u)*85) // (100*outdeg(u)). Integer sums are order-independent, so
+    the iterative algorithm stays hash-exact across engines."""
+    rounds = []
+    for k in range(iters):
+        rounds.append(f"""
+c{k + 1} AS (
+    SELECT e.dst_domain AS domain,
+           sum((r.r * 85) // (100 * d.outdeg))::BIGINT AS inflow
+    FROM de e JOIN deg d USING (src_domain)
+    JOIN r{k} r ON r.domain = e.src_domain
+    GROUP BY 1
+),
+r{k + 1} AS (
+    SELECT nodes.domain,
+           (({scale} * 15) // (100 * nn.n)
+            + coalesce(c{k + 1}.inflow, 0))::BIGINT AS r
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN c{k + 1} ON nodes.domain = c{k + 1}.domain
+)""")
+    return f"""
+WITH {_link_plant(table)},
+de AS (SELECT DISTINCT src_domain, dst_domain FROM edges),
+deg AS (SELECT src_domain, count(*)::BIGINT AS outdeg FROM de GROUP BY 1),
+nodes AS (
+    SELECT src_domain AS domain FROM pages
+    UNION SELECT dst_domain FROM de
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (
+    SELECT domain, ({scale} // nn.n)::BIGINT AS r FROM nodes CROSS JOIN nn
+),{",".join(rounds)}
+SELECT domain, r AS pagerank_scaled,
+       round(r / {float(scale)}, 6) + 0.0 AS pagerank
+FROM r{iters} ORDER BY domain"""
 
 
 def sql_doc_salient_terms(table: str = "documents") -> str:

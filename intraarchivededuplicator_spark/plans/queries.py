@@ -985,6 +985,87 @@ def q_domain_link_graph(spark, sf_dir):
     )
 
 
+PR_SCALE = 10**12  # fixed-point PageRank scale
+PR_ITERS = 3
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """PageRank over the domain link graph (the crawl-prioritization /
+    spam-weighting signal), with EXACT fixed-point BIGINT arithmetic so an
+    iterative float algorithm sits under the hash gate: ranks are scaled by
+    10^12, each edge contributes (rank * 85) DIV (100 * outdeg), and the
+    damping base is SCALE*15 DIV (100*N) — integer sums are
+    order-independent, unlike the double sums of textbook PageRank, whose
+    accumulation order differs between engines. 3 iterations, unweighted
+    distinct edges, dangling mass dropped (the standard sparse
+    simplification); DuckDB unrolls the same recurrence as chained CTEs.
+
+    Plan shape at 10^12 docs: the domain graph is ~10^8 nodes — every join
+    here is keyed by domain, orders of magnitude below doc granularity.
+    Per iteration: one shuffle join ranks x edges on src (deg folded into
+    the edge table once, up front) + one partial-aggregated exchange on
+    dst. The edge table is persisted across iterations; localCheckpoint
+    after each round would cap plan depth on longer runs (the CC-loop
+    discipline) but 3 fixed rounds stay shallow."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = _planted_link_html(d)
+    edges = (
+        pages.select(
+            "src_domain",
+            F.explode(
+                F.regexp_extract_all(
+                    "html",
+                    F.lit(r'href="http://([a-z0-9.]+)/'),
+                    F.lit(1),
+                )
+            ).alias("dst_domain"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src_domain").agg(F.count("*").alias("outdeg"))
+    e = edges.join(deg, "src_domain").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        pages.select(F.col("src_domain").alias("domain"))
+        .union(edges.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # driver scalar: domain count, bounded
+    base = F.expr(f"CAST({PR_SCALE} * 15 DIV (100 * {n_nodes}) AS LONG)")
+    ranks = nodes.select(
+        "domain",
+        F.expr(f"CAST({PR_SCALE} DIV {n_nodes} AS LONG)").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("domain").alias("src_domain"), "r"
+                ),
+                "src_domain",
+            )
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.expr("CAST((r * 85) DIV (100 * outdeg) AS LONG)").alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "domain", "left").select(
+            "domain",
+            (base + F.coalesce("inflow", F.lit(0).cast("long"))).cast(
+                "long"
+            ).alias("r"),
+        )
+    return ranks.select(
+        "domain",
+        F.col("r").alias("pagerank_scaled"),
+        (F.round(F.col("r") / F.lit(float(PR_SCALE)), 6) + F.lit(0.0)).alias(
+            "pagerank"
+        ),
+    )
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style within-doc repetition signals (Rae et al.
     2021 §A1.1, the standard quality-filter family): per doc, the fraction

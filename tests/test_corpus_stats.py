@@ -104,6 +104,47 @@ def test_domain_link_graph_first_principles(spark):
     assert any((s == d) for s, d in want)
 
 
+def test_domain_pagerank_first_principles(spark):
+    """The fixed-point recurrence recomputed in pure Python integers from
+    the arithmetic plant: r0 = S//n, r_{k+1}(v) = S*15//(100n) +
+    sum((r_k(u)*85)//(100*outdeg(u))). Every value must match exactly —
+    the whole point of integer PageRank is bit-equality of an iterative
+    algorithm."""
+    ids = [int(x) for x in _docs().doc_id]
+    edges = set()
+    nodes = set()
+    for i in ids:
+        src = f"site{i % 20}.example.com"
+        nodes.add(src)
+        for j in range(i % 4):
+            dst = f"site{(i * 7 + j * 13) % 20}.example.com"
+            edges.add((src, dst))
+            nodes.add(dst)
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    S = q.PR_SCALE
+    r = {v: S // n for v in nodes}
+    for _ in range(q.PR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += (r[s] * 85) // (100 * outdeg[s])
+        r = {v: S * 15 // (100 * n) + inflow[v] for v in nodes}
+
+    got = {
+        row["domain"]: (row["pagerank_scaled"], row["pagerank"])
+        for row in q.q_domain_pagerank(spark, SF).collect()
+    }
+    assert set(got) == nodes
+    for v in nodes:
+        assert got[v][0] == r[v], v
+    # truncating integer division only ever loses mass: total <= SCALE
+    assert sum(x for x, _ in got.values()) <= S
+    # the graph must be non-trivial: ranks differentiate
+    assert len({x for x, _ in got.values()}) > 1
+
+
 def test_doc_salient_terms_first_principles(spark):
     """Top-3 tf/df terms recomputed with plain Python dict arithmetic;
     float score compared exactly (single IEEE division both places)."""

@@ -647,6 +647,52 @@ SELECT doc_id, tok AS token, tf, df,
 FROM r WHERE rn <= 3 ORDER BY doc_id, rank"""
 
 
+def sql_cdc_chunk_stats(w: int, mod: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_cdc_chunk_stats: the CDC boundary rule
+    (functions/cdc.chunk_bounds) recomputed as SQL — a position p >= w ends
+    a chunk iff the md5-prefix hash32 of the trailing w-char window is
+    divisible by mod; the final position always ends one. Chunks are
+    re-sliced with lag() over the end positions, hashed, and folded into
+    the same per-doc df>=2 stats as the engine. Lengths are CHARACTER
+    counts in both engines (Python len == DuckDB length; the corpus is
+    ASCII so chars == bytes)."""
+    return f"""
+WITH bnd AS (
+    SELECT doc_id, t.p AS p
+    FROM {table}, unnest(generate_series({w}, length(text))) AS t(p)
+    WHERE ('0x' || substr(md5(substr(text, t.p - {w - 1}, {w})), 1, 8))::BIGINT
+          % {mod} = 0
+),
+ends AS (
+    SELECT doc_id, p AS e FROM bnd
+    UNION
+    SELECT doc_id, length(text) FROM {table} WHERE length(text) > 0
+),
+ch AS (
+    SELECT doc_id, e,
+           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+    FROM ends
+),
+chunks AS (
+    SELECT c.doc_id, md5(substr(d.text, c.s, c.e - c.s + 1)) AS h,
+           (c.e - c.s + 1)::BIGINT AS clen
+    FROM ch c JOIN {table} d USING (doc_id)
+),
+dfh AS (
+    SELECT h, count(*)::BIGINT AS df_docs
+    FROM (SELECT DISTINCT doc_id, h FROM chunks) GROUP BY 1
+)
+SELECT chunks.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(clen)::BIGINT AS n_bytes,
+       sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       sum(CASE WHEN df_docs >= 2 THEN clen ELSE 0 END)::BIGINT AS dup_bytes,
+       round(sum(CASE WHEN df_docs >= 2 THEN clen ELSE 0 END)::DOUBLE
+             / sum(clen), 6) + 0.0 AS dup_byte_ratio
+FROM chunks JOIN dfh USING (h)
+GROUP BY 1 ORDER BY 1"""
+
+
 def sql_dup_gram_stats(k_shingle: int, table: str = "documents") -> str:
     """Oracle for plans/queries.q_dup_gram_stats: per-doc distinct-shingle
     count, the subset whose corpus doc-frequency >= 2, and their ratio.

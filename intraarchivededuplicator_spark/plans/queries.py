@@ -985,6 +985,61 @@ def q_domain_link_graph(spark, sf_dir):
     )
 
 
+# gate-shared CDC geometry: __spark_entry__ hands these to the oracle builder
+from ..functions.cdc import CDC_MOD as CDC_MOD_GATE  # noqa: E402
+from ..functions.cdc import CDC_W as CDC_W_GATE  # noqa: E402
+
+
+def q_cdc_chunk_stats(spark, sf_dir):
+    """Content-defined-chunking dedup stats (functions/cdc): per doc, its
+    CDC chunk count and bytes, and how many chunks / bytes are shared with
+    >= 2 corpus docs — the sub-document storage-dedup measurement that
+    generalizes the reference's whole-member content hashing
+    (/root/reference/scanner/fileHasher.py:189-239) the way backup engines
+    do. dup_byte_ratio is the headline "bytes reclaimable by chunk-level
+    dedup" signal.
+
+    Plan shape at 10^12 docs: map-only CDC kernel (chunk hashes are 16-byte
+    md5, nothing longer crosses the wire) -> (hash, doc) distinct + df
+    count (one partial-aggregated exchange) -> shuffle join occurrences x
+    df on the 16-byte key (dup-chunk set unbounded, never broadcast) ->
+    per-doc aggregation. The dup_gram_stats shape at chunk granularity."""
+    from ..functions.cdc import cdc_chunks
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = cdc_chunks(d)
+    dfh = (
+        ch.select("doc_id", "chunk_hash")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("df_docs"))
+    )
+    return (
+        ch.join(dfh, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").alias("n_bytes"),
+            F.sum((F.col("df_docs") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("df_docs") >= 2, F.col("chunk_len")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_bytes",
+            "n_dup_chunks",
+            "dup_bytes",
+            (
+                F.round(F.col("dup_bytes") / F.col("n_bytes"), 6) + F.lit(0.0)
+            ).alias("dup_byte_ratio"),
+        )
+    )
+
+
 PR_SCALE = 10**12  # fixed-point PageRank scale
 PR_ITERS = 3
 

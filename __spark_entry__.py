@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q.q_simhash_clusters,
         "dedup_cluster_stats": q.q_dedup_cluster_stats,
         "dedup_keep_list": q.q_dedup_keep_list,
+        "dedup_funnel": q.q_dedup_funnel,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_clusters": o.sql_simhash_clusters(SIMHASH_RADIUS),
         "dedup_cluster_stats": o.sql_dedup_cluster_stats(SIMHASH_RADIUS),
         "dedup_keep_list": o.sql_dedup_keep_list(SIMHASH_RADIUS),
+        "dedup_funnel": o.sql_dedup_funnel(SIMHASH_RADIUS),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1
         ),

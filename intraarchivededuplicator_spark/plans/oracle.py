@@ -647,6 +647,18 @@ SELECT doc_id, tok AS token, tf, df,
 FROM r WHERE rn <= 3 ORDER BY doc_id, rank"""
 
 
+def sql_dedup_funnel(radius: int, table: str = "documents", blacklist=(0,)) -> str:
+    """Oracle for plans/queries.q_dedup_funnel: sql_dedup_keep_list folded
+    to per-reason counts and corpus fraction (the keep-list SQL runs as a
+    subquery — DuckDB allows the nested WITH RECURSIVE)."""
+    inner = sql_dedup_keep_list(radius, table, blacklist)
+    return f"""
+SELECT reason, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) + 0.0 AS frac
+FROM ({inner}) kl
+GROUP BY 1 ORDER BY 1"""
+
+
 def sql_cdc_chunk_stats(w: int, mod: int, table: str = "documents") -> str:
     """Oracle for plans/queries.q_cdc_chunk_stats: the CDC boundary rule
     (functions/cdc.chunk_bounds) recomputed as SQL — a position p >= w ends

@@ -215,6 +215,27 @@ def q_dedup_keep_list(spark, sf_dir):
     )
 
 
+def q_dedup_funnel(spark, sf_dir):
+    """The dedup FUNNEL report: keep-list verdicts folded to one row per
+    outcome (kept / exact_dup / near_dup) with counts and corpus fraction —
+    the pipeline-observability summary ops dashboards plot per crawl
+    (reference's per-run match summaries, ProcessArchive.py:264-300, at
+    corpus granularity).
+
+    Plan shape: everything q_dedup_keep_list pays, plus one
+    partial-aggregated exchange on the 3-value reason key and a
+    single-partition window over <= 3 rows (bounded by construction —
+    never a data-sized single partition)."""
+    kl = q_dedup_keep_list(spark, sf_dir)
+    agg = kl.groupBy("reason").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "reason",
+        "n_docs",
+        (F.round(F.col("n_docs") / tot, 6) + F.lit(0.0)).alias("frac"),
+    )
+
+
 NEAR_HORIZON_SEC = 14_400  # splits the sf0.01 radius-pair set 11/17
 
 
@@ -962,10 +983,12 @@ def q_domain_link_graph(spark, sf_dir):
     the extraction dialect (the pii_scrub discipline).
 
     Plan shape at 10^12 docs: map-only plant + regexp extract + explode,
-    then ONE partial-aggregated exchange on (src_domain, dst_domain) — the
-    domain-pair key space is quadratically smaller than the page space, so
-    partial aggregation collapses almost everything map-side. count vs
-    countDistinct(doc_id) share the exchange."""
+    then Spark's two-level countDistinct plan — a partial-aggregated
+    exchange on (src, dst, doc_id) followed by the merge exchange on
+    (src, dst). Both keys are domain-pair-bounded (quadratically smaller
+    than the page space), so partial aggregation collapses almost
+    everything map-side; verified in the formatted plan (both exchanges
+    sit above partial HashAggregates)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     pages = _planted_link_html(d)
     edges = pages.select(

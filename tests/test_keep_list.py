@@ -146,3 +146,33 @@ def test_dedup_keep_list_composition(spark, tmp_path):
             kept_per_cluster[cid] = kept_per_cluster.get(cid, 0) + 1
     assert all(n == 1 for n in kept_per_cluster.values())
     assert set(kept_per_cluster) == set(expect_cluster.values())
+
+
+def test_dedup_funnel_on_planted_corpus(spark, tmp_path):
+    """q_dedup_funnel == transport-strict oracle on the planted corpus (all
+    three reasons present by construction), and == a Python groupBy over
+    the gated keep-list output."""
+    from intraarchivededuplicator_spark.plans.queries import q_dedup_funnel
+
+    sf_dir = _planted_corpus(spark, tmp_path)
+    spdf = q_dedup_funnel(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    opdf = con.sql(o.sql_dedup_funnel(SIMHASH_RADIUS)).df()
+    scols, skinds, srows = normalize_df(spdf)
+    ocols, okinds, orows = normalize_df(opdf)
+    assert scols == ocols and srows == orows
+    for c in scols:
+        assert {"int", "float"} != {skinds[c], okinds[c]}, c
+    # 8 planted docs -> 5 kept, 2 exact_dup, 1 near_dup
+    counts = {
+        r["reason"]: r["n_docs"]
+        for r in q_dedup_funnel(spark, sf_dir).collect()
+    }
+    assert counts == {"kept": 5, "exact_dup": 2, "near_dup": 1}
+
+    kl = q_dedup_keep_list(spark, sf_dir).toPandas()
+    assert counts == kl.groupby("reason").size().to_dict()

@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q.q_doc_stats,
         "token_stats_bpe": q.q_token_stats_bpe,
         "lang_top_terms": q.q_lang_top_terms,
+        "vocab_stats": q.q_vocab_stats,
+        "pair_distance_histogram": q.q_pair_distance_histogram,
         "langid_heuristic": q.q_langid_heuristic,
         "langid_confusion": q.q_langid_confusion,
         "doc_fingerprint": q.q_doc_fingerprint,
@@ -211,6 +213,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": o.sql_doc_stats(),
         "token_stats_bpe": o.sql_token_stats_bpe(),
         "lang_top_terms": o.sql_lang_top_terms(),
+        "vocab_stats": o.sql_vocab_stats(),
+        "pair_distance_histogram": o.sql_pair_distance_histogram(
+            q.PAIR_HIST_RADIUS
+        ),
         "langid_heuristic": o.sql_langid_heuristic(LANG_MARKERS),
         "langid_confusion": o.sql_langid_confusion(LANG_MARKERS),
         "doc_fingerprint": o.sql_doc_fingerprint(K_SHINGLE),

@@ -54,6 +54,15 @@ HEADLINE = [
     "langid_heuristic",
     "user_sessions",
     "nation_revenue",
+    # round-5 final-session additions (the 21 rows above stay the
+    # round-over-round comparable set; the matched-21 subtotal is the
+    # number to compare against earlier records)
+    "minhash_dedup_clusters",
+    "dup_gram_stats",
+    "cdc_chunk_stats",
+    "domain_link_graph",
+    "domain_pagerank",
+    "doc_salient_terms",
 ]
 
 

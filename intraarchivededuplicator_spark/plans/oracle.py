@@ -1279,6 +1279,38 @@ SELECT t.doc_id, coalesce(sub.n_tokens, 0)::BIGINT AS n_tokens,
 FROM t LEFT JOIN sub ON t.doc_id = sub.doc_id"""
 
 
+def sql_vocab_stats(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_vocab_stats: corpus vocabulary profile
+    folded from per-token occurrence counts. Every count is cast ::BIGINT
+    (the transport-strict HUGEINT discipline)."""
+    return f"""
+WITH {cte_tokens(table)},
+freq AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+SELECT sum(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           + 0.0 AS hapax_frac,
+       round(max(n)::DOUBLE / sum(n), 6) + 0.0 AS top_token_share
+FROM freq"""
+
+
+def sql_pair_distance_histogram(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_pair_distance_histogram: brute-force
+    Hamming pairs within the calibration radius, folded by distance."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)}
+SELECT bit_count(xor(a.simhash, b.simhash))::INT AS distance,
+       count(*)::BIGINT AS n_pairs
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+  AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+GROUP BY 1 ORDER BY 1"""
+
+
 def sql_lang_top_terms() -> str:
     return """
 WITH g AS (

@@ -667,6 +667,52 @@ def q_doc_salient_terms(spark, sf_dir):
     )
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus-level vocabulary profile (one row): token occurrences, type
+    count, hapax-legomenon types (df-style frequency == 1 — the classic
+    OCR-junk / tail-quality signal), hapax fraction and the most frequent
+    token's occurrence share. Zipf-shaped corpora keep hapax_frac high;
+    boilerplate-heavy or template-generated corpora crater it.
+
+    Plan shape at 10^12 docs: explode -> ONE partial-aggregated exchange on
+    token (the vocab key) -> a single-row total aggregation whose input is
+    one row per TYPE, not per occurrence (bounded by vocab size, and the
+    final exchange carries pre-aggregated partials)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    return freq.select(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        (
+            F.round(F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("hapax_frac"),
+        (F.round(F.max("n") / F.sum("n"), 6) + F.lit(0.0)).alias(
+            "top_token_share"
+        ),
+    )
+
+
+PAIR_HIST_RADIUS = 6  # calibration sweep radius (reference CLI default,
+                      # ProcessArchive.py:863) — wider than the dedup gate's 4
+
+
+def q_pair_distance_histogram(spark, sf_dir):
+    """Radius-threshold calibration: the Hamming-distance histogram of all
+    near-pair candidates within PAIR_HIST_RADIUS — the table you read to
+    pick the dedup radius (the reference ships 2/4/6 for dedup /
+    cross-similarity / CLI; this is the measurement behind that choice).
+    Reuses the banded self-join at the wider radius and folds its distance
+    column — one extra partial-aggregated exchange over <= radius+1 keys."""
+    d = docs_with_sig(spark, sf_dir)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", PAIR_HIST_RADIUS, blacklist=(0,)
+    )
+    return pairs.groupBy("distance").agg(F.count("*").alias("n_pairs"))
+
+
 def q_langid_heuristic(spark, sf_dir):
     """Marker-token language guess; all-zero -> 'und'; ties -> lang asc."""
     d = load(spark, sf_dir, "documents")

@@ -249,3 +249,66 @@ def test_minhash_dedup_clusters_composition(spark):
     assert got == want
     # the corpus must actually produce multi-member minhash clusters
     assert len(set(want.values())) < len(all_ids)
+
+
+def test_vocab_stats_first_principles(spark):
+    """Corpus vocab profile recomputed with a plain Counter."""
+    from collections import Counter
+
+    freq = Counter()
+    for r in _docs().itertuples():
+        freq.update(tokenize(r.text))
+    n_tokens = sum(freq.values())
+    n_types = len(freq)
+    n_hapax = sum(1 for v in freq.values() if v == 1)
+    row = q.q_vocab_stats(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (
+        n_tokens,
+        n_types,
+        n_hapax,
+    )
+    assert r["hapax_frac"] == float(
+        Decimal(n_hapax / n_types).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert r["top_token_share"] == float(
+        Decimal(max(freq.values()) / n_tokens).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def test_pair_distance_histogram_first_principles(spark):
+    """Histogram == brute-force Hamming over the engine's own signatures,
+    and it must be a superset-refinement of the gated radius-4 pair set."""
+    from intraarchivededuplicator_spark.plans.queries import docs_with_sig
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in docs_with_sig(spark, SF).collect()
+    }
+    ids = sorted(sigs)
+    hist: dict[int, int] = {}
+    for i, a in enumerate(ids):
+        if sigs[a] == 0:
+            continue
+        for b in ids[i + 1 :]:
+            if sigs[b] == 0:
+                continue
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= q.PAIR_HIST_RADIUS:
+                hist[d] = hist.get(d, 0) + 1
+
+    got = {
+        r["distance"]: r["n_pairs"]
+        for r in q.q_pair_distance_histogram(spark, SF).collect()
+    }
+    assert got == hist
+    # the sweep is the calibration table: pairs within the dedup radius
+    # must equal the gated radius-pair count
+    n4 = sum(v for k, v in got.items() if k <= q.SIMHASH_RADIUS)
+    n_gate = q.q_simhash_radius_pairs(spark, SF).count()
+    assert n4 == n_gate

@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": q.q_minhash_dedup_clusters,
         # set-similarity + containment (J12)
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "title_typo_pairs": q.q_title_typo_pairs,
         "containment_pairs": q.q_containment_pairs,
         "containment_pairs_winnowed": q.q_containment_pairs_winnowed,
         # text analysis
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
         "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),
+        "title_typo_pairs": o.sql_title_typo_pairs(),
         "containment_pairs": o.sql_containment_pairs(K_SHINGLE),
         "containment_pairs_winnowed": o.sql_containment_pairs(K_SHINGLE),
         "doc_stats": o.sql_doc_stats(),

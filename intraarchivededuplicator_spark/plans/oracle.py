@@ -1279,6 +1279,37 @@ SELECT t.doc_id, coalesce(sub.n_tokens, 0)::BIGINT AS n_tokens,
 FROM t LEFT JOIN sub ON t.doc_id = sub.doc_id"""
 
 
+def sql_title_typo_pairs(table: str = "documents") -> str:
+    """Oracle for plans/queries.q_title_typo_pairs: the planted-title twin
+    (queries._planted_titles) joined ALL-PAIRS with DuckDB's own levenshtein
+    — the brute-force ground truth the SymSpell deletion-neighborhood join
+    must reproduce with recall 1.0."""
+    plant = """
+t AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN base
+             WHEN 1 THEN substr(base, 1, p - 1) || substr(base, p + 1, L)
+             WHEN 2 THEN substr(base, 1, p - 1) || 'Z' || substr(base, p + 1, L)
+             ELSE substr(base, 1, p) || 'q' || substr(base, p + 1, L)
+           END AS title
+    FROM (
+        SELECT doc_id,
+               'page title about topic ' || (doc_id // 4) AS base,
+               length('page title about topic ' || (doc_id // 4)) AS L,
+               ((doc_id // 4) % length('page title about topic ' || (doc_id // 4))) + 1 AS p
+        FROM {table}
+    )
+)""".replace("{table}", table)
+    return f"""
+WITH {plant}
+SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+       levenshtein(a.title, b.title)::INT AS lev
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+ORDER BY 1, 2"""
+
+
 def sql_vocab_stats(table: str = "documents") -> str:
     """Oracle for plans/queries.q_vocab_stats: corpus vocabulary profile
     folded from per-token occurrence counts. Every count is cast ::BIGINT

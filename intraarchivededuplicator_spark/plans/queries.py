@@ -667,6 +667,81 @@ def q_doc_salient_terms(spark, sf_dir):
     )
 
 
+def _planted_titles(d):
+    """(doc_id) -> (doc_id, title): each run of 4 consecutive doc_ids is one
+    base title ('page title about topic <g>', g = doc_id DIV 4) spelled 4
+    ways — verbatim, one-char deletion, one-char substitution ('Z'), one-char
+    insertion ('q'), all at position (g % len) + 1. Every variant is within
+    Levenshtein 1 of its base; variant-variant pairs are usually distance 2
+    (so the verify step must reject candidates, not rubber-stamp them).
+    Arithmetic-only; the DuckDB twin is oracle._TITLE_PLANT."""
+    g = F.expr("doc_id DIV 4")
+    base = F.concat(F.lit("page title about topic "), g.cast("string"))
+    L = F.length(base)
+    p = (g % L) + F.lit(1)
+    m = F.col("doc_id") % 4
+    pre = base.substr(F.lit(1), p - 1)
+    title = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(pre, base.substr(p + 1, L)))
+        .when(m == 2, F.concat(pre, F.lit("Z"), base.substr(p + 1, L)))
+        .otherwise(F.concat(base.substr(F.lit(1), p), F.lit("q"), base.substr(p + 1, L)))
+    )
+    return d.select("doc_id", title.alias("title"))
+
+
+def q_title_typo_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs (Levenshtein <= 1) over planted page
+    titles — the similarity family SimHash/MinHash can't express (a one-char
+    typo flips shingles wholesale on short strings). Engine plan is the
+    SymSpell deletion-neighborhood join: every title emits itself plus all
+    single-character deletions as 16-byte md5 band keys; any pair within
+    edit distance 1 provably shares a key (delete the differing character
+    from whichever side has it), so candidate recall is 1.0 and the exact
+    levenshtein verify runs only on bucket collisions — never all-pairs.
+    The DuckDB oracle IS the all-pairs levenshtein join, so the gate proves
+    the neighborhood join loses nothing.
+
+    Plan shape at 10^12 docs: map-only plant + O(len) key explode -> one
+    self-equi-join exchange on the key (title-sized keys md5'd to 16 bytes
+    for the wire) -> dropDuplicates on the pair -> JVM levenshtein verify.
+    Hot keys (very common titles) would salt exactly like the simhash
+    bands; the planted corpus exercises multi-collision buckets (each
+    group of 4 spellings collides) and reject-path candidates
+    (variant-variant distance-2 pairs)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    t = _planted_titles(d)
+    L = F.length(F.col("title"))
+    dels = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(
+            F.col("title").substr(F.lit(1), i - 1),
+            F.col("title").substr(i + 1, L),
+        ),
+    )
+    keys = t.select(
+        "doc_id",
+        "title",
+        F.explode(F.array_union(F.array(F.col("title")), dels)).alias("k"),
+    ).select("doc_id", "title", F.unhex(F.md5("k")).alias("k"))
+    a = keys.select(
+        F.col("k"), F.col("doc_id").alias("id_lo"), F.col("title").alias("t_lo")
+    )
+    b = keys.select(
+        F.col("k"), F.col("doc_id").alias("id_hi"), F.col("title").alias("t_hi")
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .dropDuplicates(["id_lo", "id_hi"])
+    )
+    return cand.filter(F.levenshtein("t_lo", "t_hi") <= 1).select(
+        "id_lo",
+        "id_hi",
+        F.levenshtein("t_lo", "t_hi").cast("int").alias("lev"),
+    )
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus-level vocabulary profile (one row): token occurrences, type
     count, hapax-legomenon types (df-style frequency == 1 — the classic

@@ -312,3 +312,60 @@ def test_pair_distance_histogram_first_principles(spark):
     n4 = sum(v for k, v in got.items() if k <= q.SIMHASH_RADIUS)
     n_gate = q.q_simhash_radius_pairs(spark, SF).count()
     assert n4 == n_gate
+
+
+def test_title_typo_pairs_first_principles(spark):
+    """SymSpell deletion-neighborhood join == brute-force Levenshtein <= 1
+    over the planted titles (recall 1.0 — the pigeonhole guarantee), with
+    the reject path provably live (distance-2 variant pairs collide in the
+    key space but must not survive the verify)."""
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def title(i: int) -> str:
+        g = i // 4
+        base = f"page title about topic {g}"
+        p = (g % len(base)) + 1
+        m = i % 4
+        if m == 0:
+            return base
+        if m == 1:
+            return base[: p - 1] + base[p:]
+        if m == 2:
+            return base[: p - 1] + "Z" + base[p:]
+        return base[:p] + "q" + base[p:]
+
+    ids = [int(x) for x in _docs().doc_id]
+    titles = {i: title(i) for i in ids}
+    want = {}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = lev(titles[i], titles[j])
+                if d <= 1:
+                    want[(i, j)] = d
+
+    got = {
+        (r["id_lo"], r["id_hi"]): r["lev"]
+        for r in q.q_title_typo_pairs(spark, SF).collect()
+    }
+    assert got == want
+    # reject path live: within a group, deletion-vs-insertion variants are
+    # candidates (they share the base's deletion key) at distance 2
+    g0 = [i for i in ids if i // 4 == 1]
+    if len(g0) == 4:
+        assert lev(titles[g0[1]], titles[g0[3]]) == 2
+        assert (g0[1], g0[3]) not in got
+    # and distance-0-and-1 pairs both occur
+    assert 1 in got.values()

@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_revisit_diff": q.q_url_revisit_diff,
         "doc_repetition_stats": q.q_doc_repetition_stats,
         "dup_gram_stats": q.q_dup_gram_stats,
+        "heavy_hitter_grams": q.q_heavy_hitter_grams,
         "cdc_chunk_stats": q.q_cdc_chunk_stats,
         "length_quantiles": q.q_length_quantiles,
         "domain_link_graph": q.q_domain_link_graph,
@@ -227,6 +228,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
+        "heavy_hitter_grams": o.sql_heavy_hitter_grams(
+            K_SHINGLE, q.HH_MIN_DF
+        ),
         "cdc_chunk_stats": o.sql_cdc_chunk_stats(q.CDC_W_GATE, q.CDC_MOD_GATE),
         "length_quantiles": o.sql_length_quantiles(),
         "domain_link_graph": o.sql_domain_link_graph(),

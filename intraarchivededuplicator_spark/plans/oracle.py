@@ -723,6 +723,22 @@ FROM sd JOIN dfg USING (s)
 GROUP BY sd.doc_id ORDER BY sd.doc_id"""
 
 
+def sql_heavy_hitter_grams(
+    k_shingle: int, min_df: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_heavy_hitter_grams: grams with corpus
+    doc-frequency >= min_df, exact counts — the plain GROUP BY ... HAVING
+    formulation the engine's two-pass prune must reproduce exactly (the
+    pigeonhole bound guarantees candidate-set completeness, so the outputs
+    are identical even though the engine never globally counts the tail)."""
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+sd AS (SELECT DISTINCT doc_id, s FROM shing)
+SELECT s AS gram, count(*)::BIGINT AS df_docs
+FROM sd GROUP BY s HAVING count(*) >= {min_df}
+ORDER BY gram"""
+
+
 def sql_length_quantiles(table: str = "documents") -> str:
     """Oracle for plans/queries.q_length_quantiles: per-lang exact discrete
     quantiles of n_chars via the identical BIGINT position arithmetic

@@ -1336,6 +1336,30 @@ def q_dup_gram_stats(spark, sf_dir):
     )
 
 
+HH_MIN_DF = 3  # registry threshold (the reference's >500-matches knob scaled
+# to the gated corpora: df>=3 is 74 grams at sf0.01, 550 at sf0.1)
+HH_LOCAL_PARTS = 2  # forces ceil(3/2)=2 so the pass-1 prune bites at gate SF
+
+
+def q_heavy_hitter_grams(spark, sf_dir):
+    """Hot-gram registry (the reference's high_incidence_hashes /
+    degenerate-hash observation as a corpus pass,
+    /root/reference/dbPhashApi.py:185-191,
+    /root/reference/deduplicator/ProcessArchive.py:21-27): every K_SHINGLE
+    gram whose corpus doc-frequency >= HH_MIN_DF, with exact counts, via
+    the exact two-pass frequent-items algorithm — map-only per-partition
+    counting prunes the df-1 tail before any exchange; only the provable
+    candidate superset pays the global count. See
+    operators/heavy_hitters.frequent_grams for the pigeonhole argument and
+    the 10^12-doc cost shape."""
+    from ..functions.shingle_kernel import distinct_shingles
+    from ..operators.heavy_hitters import frequent_grams
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = distinct_shingles(d, K_SHINGLE)
+    return frequent_grams(occ, HH_MIN_DF, local_parts=HH_LOCAL_PARTS)
+
+
 # --- line-level web pipeline (CCNet-style; beyond-reference) -----------------
 
 def q_line_dup_stats(spark, sf_dir):

@@ -369,3 +369,45 @@ def test_title_typo_pairs_first_principles(spark):
         assert (g0[1], g0[3]) not in got
     # and distance-0-and-1 pairs both occur
     assert 1 in got.values()
+
+
+def test_heavy_hitter_grams_first_principles(spark):
+    """Exact two-pass frequent items == plain Python df count + threshold,
+    and the result is invariant to the pass-1 partitioning (the pigeonhole
+    candidate superset is partitioning-DEPENDENT; the exact pass-2 recount
+    makes the OUTPUT partitioning-independent)."""
+    from intraarchivededuplicator_spark.functions.shingle_kernel import (
+        distinct_shingles,
+    )
+    from intraarchivededuplicator_spark.operators.heavy_hitters import (
+        frequent_grams,
+    )
+
+    pdf = _docs()[["doc_id", "text"]]
+    df: dict[str, int] = {}
+    for r in pdf.itertuples():
+        for g in set(shingles(tokenize(r.text), q.K_SHINGLE)):
+            df[g] = df.get(g, 0) + 1
+    want = {g: c for g, c in df.items() if c >= q.HH_MIN_DF}
+    assert want  # corpus exercises the registry (df reaches 4 at sf0.001)
+
+    got = {
+        r["gram"]: r["df_docs"]
+        for r in q.q_heavy_hitter_grams(spark, SF).collect()
+    }
+    assert got == want
+
+    # partition-independence: 1 part (pass 1 IS the exact filter, lb=3),
+    # 2 parts (lb=2 — the prune bites: the df=1 tail dies map-side), and
+    # a width above the threshold (lb=1 — prune degenerates, still exact)
+    occ = distinct_shingles(
+        spark.createDataFrame(pdf[["doc_id", "text"]]), q.K_SHINGLE
+    )
+    for parts in (1, 2, 5):
+        got_p = {
+            r["gram"]: r["df_docs"]
+            for r in frequent_grams(
+                occ, q.HH_MIN_DF, local_parts=parts
+            ).collect()
+        }
+        assert got_p == want, parts

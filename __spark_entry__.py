@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q.q_doc_repetition_stats,
         "dup_gram_stats": q.q_dup_gram_stats,
         "heavy_hitter_grams": q.q_heavy_hitter_grams,
+        "charlm_quality": q.q_charlm_quality,
         "cdc_chunk_stats": q.q_cdc_chunk_stats,
         "length_quantiles": q.q_length_quantiles,
         "domain_link_graph": q.q_domain_link_graph,
@@ -230,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
         "heavy_hitter_grams": o.sql_heavy_hitter_grams(
             K_SHINGLE, q.HH_MIN_DF
+        ),
+        "charlm_quality": o.sql_charlm_quality(
+            q.CHARLM_TRAIN_MOD, q.CHARLM_MAX_NLP
         ),
         "cdc_chunk_stats": o.sql_cdc_chunk_stats(q.CDC_W_GATE, q.CDC_MOD_GATE),
         "length_quantiles": o.sql_length_quantiles(),

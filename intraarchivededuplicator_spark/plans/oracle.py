@@ -739,6 +739,47 @@ FROM sd GROUP BY s HAVING count(*) >= {min_df}
 ORDER BY gram"""
 
 
+def sql_charlm_quality(
+    train_mod: int, max_nlp: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_charlm_quality. The quantized log table is
+    the SAME Python-computed constant list the engine broadcasts
+    (functions/charlm.LP_MICRO) embedded as VALUES — by construction neither
+    engine takes a log, so every doc total is exact int64 arithmetic. The
+    model/scoring SQL re-derives the counts and quantization independently."""
+    from ..functions.charlm import CHARLM_Q, LP_FLOOR, lp_values_sql
+
+    return f"""
+WITH lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
+tb AS (
+    SELECT substr(text, i, 2) AS bg
+    FROM {table}, unnest(generate_series(1, length(text) - 1)) AS r(i)
+    WHERE doc_id % {train_mod} = 0
+),
+c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM tb GROUP BY bg),
+c1 AS (SELECT substr(bg, 1, 1) AS a, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+model AS (
+    SELECT q.bg, lp.lp_micro FROM (
+        SELECT c2.bg, greatest(1, (c2.c2 * {CHARLM_Q}) // c1.c1) AS p_q
+        FROM c2 JOIN c1 ON substr(c2.bg, 1, 1) = c1.a
+    ) q JOIN lp USING (p_q)
+),
+sb AS (
+    SELECT doc_id, substr(text, i, 2) AS bg
+    FROM {table}, unnest(generate_series(1, length(text) - 1)) AS r(i)
+),
+sc AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt FROM sb GROUP BY 1, 2),
+agg AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+           ((-sum(cnt * coalesce(lp_micro, {LP_FLOOR})))
+            // sum(cnt))::BIGINT AS nlp_micro
+    FROM sc LEFT JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, nlp_micro,
+       nlp_micro <= {max_nlp} AS keep_flag
+FROM agg ORDER BY doc_id"""
+
+
 def sql_length_quantiles(table: str = "documents") -> str:
     """Oracle for plans/queries.q_length_quantiles: per-lang exact discrete
     quantiles of n_chars via the identical BIGINT position arithmetic

@@ -1360,6 +1360,44 @@ def q_heavy_hitter_grams(spark, sf_dir):
     return frequent_grams(occ, HH_MIN_DF, local_parts=HH_LOCAL_PARTS)
 
 
+CHARLM_TRAIN_MOD = 3  # LM training slice: doc_id % 3 == 0 (~33% of corpus)
+CHARLM_MAX_NLP = 1_750_000  # keep docs under 1.75 nats/bigram (micro-nats)
+
+
+def q_charlm_quality(spark, sf_dir):
+    """Statistical LM quality filter (the CCNet perplexity stage): train a
+    char-bigram model on the deterministic CHARLM_TRAIN_MOD slice, score
+    every doc by average negative log-probability in exact integer
+    micro-nats, and flag the high-perplexity tail. No engine computes a
+    log — quantized probabilities index a Python-precomputed table shared
+    with the oracle (functions/charlm module docstring has the full
+    exactness argument and the 10^12-doc plan shape: KB model broadcast,
+    map-side bigram counts, one per-doc exchange)."""
+    from ..functions.charlm import LP_FLOOR, charlm_model, doc_bigrams
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    model = charlm_model(d.filter(F.col("doc_id") % CHARLM_TRAIN_MOD == 0))
+    sb = doc_bigrams(d).groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    sc = sb.join(F.broadcast(model), "bg", "left").select(
+        "doc_id",
+        "cnt",
+        F.coalesce(F.col("lp_micro"), F.lit(LP_FLOOR)).alias("lp"),
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.expr("(-sum(cnt * lp)) div sum(cnt)").alias("nlp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nlp_micro",
+            (F.col("nlp_micro") <= CHARLM_MAX_NLP).alias("keep_flag"),
+        )
+    )
+
+
 # --- line-level web pipeline (CCNet-style; beyond-reference) -----------------
 
 def q_line_dup_stats(spark, sf_dir):

@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q.q_dedup_cluster_stats,
         "dedup_keep_list": q.q_dedup_keep_list,
         "dedup_funnel": q.q_dedup_funnel,
+        "soft_dedup_weights": q.q_soft_dedup_weights,
+        "quality_funnel": q.q_quality_funnel,
+        "perplexity_buckets": q.q_perplexity_buckets,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
@@ -189,6 +192,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_stats": o.sql_dedup_cluster_stats(SIMHASH_RADIUS),
         "dedup_keep_list": o.sql_dedup_keep_list(SIMHASH_RADIUS),
         "dedup_funnel": o.sql_dedup_funnel(SIMHASH_RADIUS),
+        "soft_dedup_weights": o.sql_soft_dedup_weights(SIMHASH_RADIUS),
+        "quality_funnel": o.sql_quality_funnel(
+            q.STOPWORDS,
+            q.FUNNEL_MIN_TOKENS,
+            q.FUNNEL_MAX_STOP_RATIO,
+            q.FUNNEL_MIN_DISTINCT_RATIO,
+        ),
+        "perplexity_buckets": o.sql_perplexity_buckets(
+            q.CHARLM_TRAIN_MOD, q.PPL_BUCKETS
+        ),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1
         ),

@@ -659,6 +659,48 @@ FROM ({inner}) kl
 GROUP BY 1 ORDER BY 1"""
 
 
+def sql_soft_dedup_weights(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_soft_dedup_weights: sql_dedup_keep_list's
+    cluster assignment (nested subquery, the sql_dedup_funnel precedent)
+    folded to per-cluster sizes and the 1/size sampling weight."""
+    inner = sql_dedup_keep_list(radius, table, blacklist)
+    return f"""
+WITH kl AS ({inner}),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM kl GROUP BY 1)
+SELECT doc_id, cluster_id, cluster_size,
+       round(1.0::DOUBLE / cluster_size, 6) + 0.0 AS weight
+FROM kl JOIN sz USING (cluster_id) ORDER BY doc_id"""
+
+
+def sql_quality_funnel(
+    stopwords: list[str],
+    min_tokens: int,
+    max_stop_ratio: float,
+    min_distinct_ratio: float,
+) -> str:
+    """Oracle for plans/queries.q_quality_funnel: first-failing-rule verdict
+    in the fixed order too_short -> stopword_heavy -> low_diversity ->
+    passed over the shared _quality_m_cte arithmetic, folded to per-reason
+    counts + corpus fraction."""
+    return rf"""
+WITH {_quality_m_cte(stopwords)},
+v AS (
+    SELECT CASE
+        WHEN n_tokens < {min_tokens} THEN 'too_short'
+        WHEN round(n_stop / greatest(n_tokens, 1), 6) > {max_stop_ratio}
+            THEN 'stopword_heavy'
+        WHEN round(n_distinct / greatest(n_tokens, 1), 6)
+            < {min_distinct_ratio} THEN 'low_diversity'
+        ELSE 'passed' END AS reason
+    FROM m
+)
+SELECT reason, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) + 0.0 AS frac
+FROM v GROUP BY 1 ORDER BY 1"""
+
+
 def sql_cdc_chunk_stats(w: int, mod: int, table: str = "documents") -> str:
     """Oracle for plans/queries.q_cdc_chunk_stats: the CDC boundary rule
     (functions/cdc.chunk_bounds) recomputed as SQL — a position p >= w ends
@@ -739,18 +781,17 @@ FROM sd GROUP BY s HAVING count(*) >= {min_df}
 ORDER BY gram"""
 
 
-def sql_charlm_quality(
-    train_mod: int, max_nlp: int, table: str = "documents"
-) -> str:
-    """Oracle for plans/queries.q_charlm_quality. The quantized log table is
-    the SAME Python-computed constant list the engine broadcasts
-    (functions/charlm.LP_MICRO) embedded as VALUES — by construction neither
-    engine takes a log, so every doc total is exact int64 arithmetic. The
-    model/scoring SQL re-derives the counts and quantization independently."""
+def _cte_charlm(train_mod: int, table: str = "documents") -> str:
+    """Shared CTE chain lp..agg for the char-bigram LM oracles
+    (sql_charlm_quality, sql_perplexity_buckets): `agg(doc_id, n_bigrams,
+    nlp_micro)`. The quantized log table is the SAME Python-computed
+    constant list the engine broadcasts (functions/charlm.LP_MICRO)
+    embedded as VALUES — by construction neither engine takes a log, so
+    every doc total is exact int64 arithmetic. The model/scoring SQL
+    re-derives the counts and quantization independently."""
     from ..functions.charlm import CHARLM_Q, LP_FLOOR, lp_values_sql
 
-    return f"""
-WITH lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
+    return f"""lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
 tb AS (
     SELECT substr(text, i, 2) AS bg
     FROM {table}, unnest(generate_series(1, length(text) - 1)) AS r(i)
@@ -774,10 +815,44 @@ agg AS (
            ((-sum(cnt * coalesce(lp_micro, {LP_FLOOR})))
             // sum(cnt))::BIGINT AS nlp_micro
     FROM sc LEFT JOIN model USING (bg) GROUP BY doc_id
-)
+)"""
+
+
+def sql_charlm_quality(
+    train_mod: int, max_nlp: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_charlm_quality — see _cte_charlm for the
+    no-engine-takes-a-log exactness argument."""
+    return f"""
+WITH {_cte_charlm(train_mod, table)}
 SELECT doc_id, n_bigrams, nlp_micro,
        nlp_micro <= {max_nlp} AS keep_flag
 FROM agg ORDER BY doc_id"""
+
+
+def sql_perplexity_buckets(
+    train_mod: int, n_buckets: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_perplexity_buckets: the _cte_charlm score
+    joined back to doc lang, NTILE({n_buckets}) per lang over (nlp_micro,
+    doc_id) — NTILE's remainder-to-first-buckets rule is SQL-standard in
+    both engines — folded to the per-(lang, bucket) summary."""
+    return f"""
+WITH {_cte_charlm(train_mod, table)},
+ranked AS (
+    SELECT d.lang, a.nlp_micro,
+           ntile({n_buckets}) OVER (
+               PARTITION BY d.lang ORDER BY a.nlp_micro, a.doc_id
+           ) AS bucket_id
+    FROM agg a JOIN {table} d USING (doc_id)
+)
+SELECT lang,
+       CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(nlp_micro)::BIGINT AS nlp_lo,
+       max(nlp_micro)::BIGINT AS nlp_hi
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def sql_length_quantiles(table: str = "documents") -> str:

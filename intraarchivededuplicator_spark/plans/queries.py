@@ -2468,8 +2468,8 @@ def _quality_parts():
     """Shared quality arithmetic (token count, stopword / punctuation /
     distinct ratios, pass gate) for q_text_quality and q_domain_quota_topk —
     one definition so the two gated surfaces cannot drift. Returns
-    (n_tokens, stop_ratio, punct_ratio, passes_quality) column expressions
-    over a `text` column."""
+    (n_tokens, stop_ratio, punct_ratio, distinct_ratio, passes_quality)
+    column expressions over a `text` column."""
     t = tokens(F.col("text"))
     n_tok = F.size(t)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -2487,7 +2487,7 @@ def _quality_parts():
         & (stop_ratio <= QUALITY_MAX_STOP_RATIO)
         & (distinct_ratio >= QUALITY_MIN_DISTINCT_RATIO)
     )
-    return n_tok, stop_ratio, punct_ratio, passes
+    return n_tok, stop_ratio, punct_ratio, distinct_ratio, passes
 
 
 def q_text_quality(spark, sf_dir):
@@ -2496,7 +2496,7 @@ def q_text_quality(spark, sf_dir):
     corpus filter shape (C4/Gopher-style heuristics, re-expressed JVM-side
     so the filter folds into the scan at 100 TB)."""
     d = load(spark, sf_dir, "documents")
-    n_tok, stop_ratio, punct_ratio, passes = _quality_parts()
+    n_tok, stop_ratio, punct_ratio, _, passes = _quality_parts()
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -2523,7 +2523,7 @@ def q_domain_quota_topk(spark, sf_dir, k: int = DOMAIN_QUOTA_K):
     the corpus, and a single spam domain with 10^9 pages cannot flood the
     sort (the quota IS the skew control)."""
     d = load(spark, sf_dir, "documents")
-    n_tok, _, _, passes = _quality_parts()
+    n_tok, _, _, _, passes = _quality_parts()
     ranked = d.select(
         "source",
         "doc_id",
@@ -2652,4 +2652,111 @@ def q_stream_exact_dedup_replay(spark, sf_dir):
         F.col("url").cast("long").alias("doc_id"),
         "text_hash",
         (F.col("warc_ts").cast("long") - 86400).alias("ts_sec"),
+    )
+
+
+# --- corpus-curation surfaces (round-5 final session) -------------------------
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication — instead of DROPPING duplicates, every doc gets a
+    training sampling weight 1/cluster_size over the same exact+near dedup
+    graph the keep-list closes (the "SoftDeDup" reweighting alternative to
+    hard removal: the cluster contributes one doc's worth of expected mass
+    however many members it has, but no byte of data is discarded). Composes
+    with q_dedup_keep_list — identical clusters, so weight == 1.0 exactly for
+    kept singletons and the per-cluster weight sum is 1 by construction.
+
+    Plan shape at 10^12 docs: everything the keep-list pays (hash groupBy +
+    banded self-join + connected components) plus ONE partial-aggregated
+    exchange on cluster_id for sizes and a shuffle-hash join back — the size
+    table is bounded by the cluster count, never broadcast-assumed."""
+    kl = q_dedup_keep_list(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = kl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return kl.join(sizes.hint("shuffle_hash"), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6) + F.lit(0.0)
+        ).alias("weight"),
+    )
+
+
+FUNNEL_MIN_TOKENS = 25  # strict curation profile: splits the synth corpus
+FUNNEL_MAX_STOP_RATIO = 0.10  # across all four funnel outcomes (the lax
+FUNNEL_MIN_DISTINCT_RATIO = 0.35  # shared gate passes ~everything)
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Quality-gate FUNNEL: the per-rule attrition report every corpus
+    curation run publishes (C4/Gopher-style ablation table) — each doc is
+    assigned the FIRST rule it fails, in the fixed rule order too_short ->
+    stopword_heavy -> low_diversity -> passed, then folded to per-reason
+    counts and corpus fractions. The quality arithmetic is the shared
+    _quality_parts expressions (so the funnel cannot drift from the gated
+    text_quality / domain_quota_topk surfaces); the thresholds are the
+    STRICT curation profile — the lax shared gate keeps ~the whole synth
+    corpus, which would pin a one-row funnel.
+
+    Plan shape: map-only column algebra over the scan, one partial-aggregated
+    exchange on the 4-value reason key, and a single-partition window over
+    <= 4 rows (bounded by construction)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok, stop_ratio, _, distinct_ratio, _ = _quality_parts()
+    reason = (
+        F.when(n_tok < FUNNEL_MIN_TOKENS, F.lit("too_short"))
+        .when(stop_ratio > FUNNEL_MAX_STOP_RATIO, F.lit("stopword_heavy"))
+        .when(
+            distinct_ratio < FUNNEL_MIN_DISTINCT_RATIO, F.lit("low_diversity")
+        )
+        .otherwise(F.lit("passed"))
+    )
+    agg = d.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "reason",
+        "n_docs",
+        (F.round(F.col("n_docs") / tot, 6) + F.lit(0.0)).alias("frac"),
+    )
+
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: per-language head/middle/tail split of the
+    corpus by the char-bigram LM score (q_charlm_quality's exact integer
+    micro-nats), folded to a per-(lang, bucket) summary with the score
+    extents. ntile(3) over (nlp_micro, doc_id) — integer sort keys only, and
+    NTILE's remainder-to-first-buckets rule is SQL-standard in both engines,
+    so bucket assignment is deterministic and engine-free.
+
+    The exact per-lang rank here is the SEMANTIC pin; at 10^12 docs a
+    per-lang NTILE window is one task per language (the global-sort trap —
+    see operators/pack.py's two-phase scan discussion). The production CCNet
+    path assigns buckets by comparing nlp_micro against PER-LANG QUANTILE
+    THRESHOLDS estimated once from a sample (two broadcast constants per
+    lang, map-only assignment); the gated form proves the scoring + bucket
+    semantics those thresholds approximate. Docs with < 2 chars score no
+    bigrams and are absent, exactly as in charlm_quality."""
+    sc = q_charlm_quality(spark, sf_dir).select("doc_id", "nlp_micro")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = d.join(sc, "doc_id")
+    w = Window.partitionBy("lang").orderBy("nlp_micro", "doc_id")
+    b = j.withColumn("bucket_id", F.ntile(PPL_BUCKETS).over(w))
+    bucket = (
+        F.when(F.col("bucket_id") == 1, F.lit("head"))
+        .when(F.col("bucket_id") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        b.select("lang", bucket.alias("bucket"), "nlp_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nlp_micro").alias("nlp_lo"),
+            F.max("nlp_micro").alias("nlp_hi"),
+        )
     )

@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": q.q_soft_dedup_weights,
         "quality_funnel": q.q_quality_funnel,
         "perplexity_buckets": q.q_perplexity_buckets,
+        "token_entropy": q.q_token_entropy,
+        "gram_novelty_by_batch": q.q_gram_novelty_by_batch,
+        "multi_signal_clusters": q.q_multi_signal_clusters,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
@@ -201,6 +204,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "perplexity_buckets": o.sql_perplexity_buckets(
             q.CHARLM_TRAIN_MOD, q.PPL_BUCKETS
+        ),
+        "token_entropy": o.sql_token_entropy(q.TTR_Q),
+        "gram_novelty_by_batch": o.sql_gram_novelty_by_batch(
+            K_SHINGLE, q.NOVELTY_BATCH
+        ),
+        "multi_signal_clusters": o.sql_multi_signal_clusters(
+            SIMHASH_RADIUS, ORACLE_MINHASH, K_SHINGLE, 4, 4
         ),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1

@@ -2304,3 +2304,117 @@ w AS (
 )
 SELECT source, doc_id, n_tokens, passes_quality, quota_rank
 FROM w WHERE quota_rank <= {k} ORDER BY source, quota_rank"""
+
+
+def sql_token_entropy(q_buckets: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_token_entropy: quantized-entropy + TTR via
+    the same embedded LP_MICRO VALUES table as the charlm oracles — neither
+    engine takes a log, all per-doc totals are exact int64 sums."""
+    from ..functions.charlm import lp_values_sql
+
+    return f"""
+WITH lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
+{cte_tokens(table)},
+c AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+n AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+    FROM c GROUP BY 1
+),
+j AS (
+    SELECT c.doc_id, cnt, n_tokens, n_types,
+           greatest(1, (cnt * {q_buckets}) // n_tokens) AS p_q
+    FROM c JOIN n USING (doc_id)
+)
+SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
+       max(n_types)::BIGINT AS n_types,
+       round(max(n_types)::DOUBLE / max(n_tokens), 6) + 0.0 AS ttr,
+       ((-sum(cnt * lp_micro)) // max(n_tokens))::BIGINT AS entropy_micro
+FROM j JOIN lp USING (p_q)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sql_gram_novelty_by_batch(
+    k_shingle: int, batch: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_gram_novelty_by_batch: distinct (batch,
+    gram) set over the k-token shingles, first-seen batch per gram, folded
+    to per-batch totals/novel counts. Groups by the gram STRING where the
+    engine groups by md5(gram) — the independent-formulation discipline of
+    sql_dup_gram_stats."""
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+occ AS (SELECT DISTINCT doc_id // {batch} AS batch_id, s FROM shing),
+first AS (SELECT s, min(batch_id) AS first_batch FROM occ GROUP BY s)
+SELECT batch_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN first_batch = batch_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel,
+       round(sum(CASE WHEN first_batch = batch_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS novelty_ratio
+FROM occ JOIN first USING (s)
+GROUP BY batch_id ORDER BY batch_id"""
+
+
+def sql_multi_signal_clusters(
+    radius: int,
+    params: MinHashParams,
+    k_shingle: int,
+    n_bands: int,
+    rows_per_band: int,
+    table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_multi_signal_clusters: exact + SimHash +
+    MinHash-band edges unioned, closed via the recursive-CTE reach (the
+    sql_simhash_clusters shape). The MinHash leg re-derives its shingles
+    under 5-prefixed CTE names (toklist5/shing5) because cte_simhash already
+    owns the k=3 `shing` name."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(zip(params.a, params.b))
+    )
+    return f"""
+WITH RECURSIVE {cte_simhash(table)},
+ex AS (SELECT doc_id, md5(text) AS text_hash FROM {table}),
+toklist5 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+shing5 AS (
+    SELECT doc_id, array_to_string(tl[i:i+{k_shingle - 1}], ' ') AS s
+    FROM toklist5, unnest(generate_series(1, len(tl) - {k_shingle - 1})) AS r(i)
+),
+sh_h5 AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing5),
+params (i, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT doc_id, i, min((a * h + b) % {MINHASH_PRIME}) AS v
+    FROM sh_h5 CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {rows_per_band} AS band_id,
+           string_agg(v, ',' ORDER BY i) AS band_key
+    FROM mh WHERE i < {n_bands * rows_per_band}
+    GROUP BY doc_id, i // {rows_per_band}
+),
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+    UNION
+    SELECT x.doc_id, y.doc_id
+    FROM ex x JOIN ex y ON x.doc_id < y.doc_id AND x.text_hash = y.text_hash
+    UNION
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach (src, dst) AS (
+    SELECT doc_id, doc_id FROM {table}
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""

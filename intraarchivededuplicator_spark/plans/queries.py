@@ -2760,3 +2760,133 @@ def q_perplexity_buckets(spark, sf_dir):
             F.max("nlp_micro").alias("nlp_hi"),
         )
     )
+
+
+TTR_Q = 1024  # entropy probability quantization (shared with charlm's table)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy + type-token ratio — the
+    lexical-diversity quality signal (gibberish and keyword-stuffed spam sit
+    at the entropy extremes). Same no-engine-takes-a-log discipline as the
+    charlm filter: token probabilities quantize to p_q = max(1, (c*Q) // n)
+    and the surprise comes from the ONE Python-precomputed LP_MICRO table
+    (functions/charlm), so entropy_micro = (sum c * -lp[p_q]) // n is exact
+    int64 arithmetic — order-free, partitioning-free, engine-free.
+
+    Plan shape at 10^12 docs: explode (JVM tokenizer) -> per-(doc, token)
+    partial-aggregated count -> per-doc totals (second partial agg) -> KB
+    broadcast of the 1024-row lp table -> one per-doc sum. Docs with zero
+    tokens emit no row (both engines: empty explode)."""
+    from ..functions.charlm import lp_table
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    c = d.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    j = c.join(n.hint("shuffle_hash"), "doc_id").withColumn(
+        "p_q",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt * {TTR_Q}) div n_tokens")),
+    )
+    sc = j.join(F.broadcast(lp_table(spark)), "p_q")
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.expr("(-sum(cnt * lp_micro)) div max(n_tokens)").alias(
+                "entropy_micro"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            (
+                F.round(F.col("n_types") / F.col("n_tokens"), 6) + F.lit(0.0)
+            ).alias("ttr"),
+            "entropy_micro",
+        )
+    )
+
+
+NOVELTY_BATCH = 50  # doc_ids per synthetic crawl batch
+
+
+def q_gram_novelty_by_batch(spark, sf_dir):
+    """Crawl-over-crawl content novelty: bucket docs into arithmetic crawl
+    batches (doc_id // NOVELTY_BATCH — the deterministic stand-in for a
+    crawl id), and per batch report how many distinct K_SHINGLE-gram types
+    it contains vs how many are NOVEL (first seen in that batch). The
+    saturation curve every incremental-crawl dedup plan is sized from: as
+    batches accumulate, the novel fraction decays toward the truly-new-content
+    rate, and the gram store growth rate IS the novelty rate.
+
+    Plan shape at 10^12 docs: shingle kernel (map-only, distinct per doc)
+    -> md5 16-byte gram keys (the dup_gram_stats wire discipline) -> ONE
+    exchange for the distinct (gram, batch) set -> min-batch per gram
+    (partial-aggregated on the same key, no extra shuffle) -> join back on
+    the gram key -> per-batch counts. No broadcast assumption anywhere (the
+    gram dictionary is unbounded)."""
+    from ..functions.shingle_kernel import distinct_shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = distinct_shingles(d, K_SHINGLE).select(
+        (F.col("doc_id") / NOVELTY_BATCH).cast("long").alias("batch_id"),
+        F.unhex(F.md5("s")).alias("g"),
+    ).distinct()
+    first = occ.groupBy("g").agg(F.min("batch_id").alias("first_batch"))
+    return (
+        occ.join(first.hint("shuffle_hash"), "g")
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("first_batch") == F.col("batch_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "batch_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.round(F.col("n_novel") / F.col("n_grams"), 6) + F.lit(0.0)
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+def q_multi_signal_clusters(spark, sf_dir):
+    """The FULL multi-signal dedup graph: exact (md5 text), near (banded
+    SimHash, r=SIMHASH_RADIUS, degenerate-blacklisted) and MinHash-LSH band
+    edges (the gated minhash_band_pairs geometry, 4x4) unioned into ONE
+    edge set and closed into connected components — the production merge
+    where every signature family feeds the same union-find and a doc joins
+    a cluster if ANY signal links it (reference analog: pHash AND binary
+    matches feed one match table, /root/reference/deduplicator/
+    ProcessArchive.py match accumulation).
+
+    Plan shape at 10^12 docs: the three edge legs are each the gated
+    scale-shaped plans (hash groupBy / banded self-joins); union is
+    exchange-free; connected components bounded-driver or alternating-star;
+    one shuffle-hash join assigns the corpus. Cost is the sum of the legs —
+    no leg is recomputed (one signature projection feeds simhash + minhash)."""
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = with_text_hash(docs_with_sig(spark, sf_dir)).withColumn(
+        "minhash", mh(F.col("text"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    near = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi")
+    ex = exact_pairs(d, "doc_id", "text_hash").select("id_lo", "id_hi")
+    mhp = minhash_candidate_pairs(
+        d.select("doc_id", "minhash"), "doc_id", "minhash",
+        n_bands=4, rows_per_band=4,
+    ).select("id_lo", "id_hi")
+    edges = ex.unionByName(near).unionByName(mhp)
+    return assign_clusters(
+        d.select(F.col("doc_id").alias("id")), edges
+    ).select(F.col("id").alias("doc_id"), "cluster_id")

@@ -122,3 +122,85 @@ def test_perplexity_buckets_oracle_and_ntile_law(spark):
         ]
         for a, b in zip(order, order[1:]):
             assert a.nlp_lo <= a.nlp_hi <= b.nlp_lo <= b.nlp_hi
+
+
+def test_token_entropy_oracle_and_first_principles(spark):
+    spdf = q.q_token_entropy(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_token_entropy(q.TTR_Q))
+    _strict_compare(spdf, opdf)
+
+    # first principles: recompute the quantized entropy for a sample of docs
+    from collections import Counter
+
+    from intraarchivededuplicator_spark.functions.charlm import LP_MICRO
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    )
+    got = spdf.set_index("doc_id")
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        if not toks:
+            assert r.doc_id not in got.index
+            continue
+        cnt = Counter(toks)
+        n = sum(cnt.values())
+        s = sum(
+            c * -LP_MICRO[max(1, (c * q.TTR_Q) // n) - 1]
+            for c in cnt.values()
+        )
+        row = got.loc[r.doc_id]
+        assert row.n_tokens == n and row.n_types == len(cnt)
+        assert row.entropy_micro == s // n
+        # quantized entropy tracks true entropy within the bucket error
+        true_h = -sum(
+            (c / n) * math.log(c / n) for c in cnt.values()
+        )
+        assert abs(row.entropy_micro / 1e6 - true_h) < 0.05
+
+
+def test_gram_novelty_invariants(spark):
+    spdf = q.q_gram_novelty_by_batch(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_gram_novelty_by_batch(q.K_SHINGLE, q.NOVELTY_BATCH)
+    )
+    _strict_compare(spdf, opdf)
+    first = spdf.sort_values("batch_id").iloc[0]
+    assert first.batch_id == 0 and first.novelty_ratio == 1.0
+    assert (spdf.n_novel <= spdf.n_grams).all()
+    # sum of novel grams across batches == corpus-wide distinct gram count
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'"
+    )
+    total = con.sql(
+        f"WITH {o.cte_shingles(q.K_SHINGLE)} "
+        "SELECT count(DISTINCT s) FROM shing"
+    ).fetchone()[0]
+    assert spdf.n_novel.sum() == total
+
+
+def test_multi_signal_clusters_refine_single_families(spark):
+    spdf = q.q_multi_signal_clusters(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_multi_signal_clusters(
+            q.SIMHASH_RADIUS, q.ORACLE_MINHASH, q.K_SHINGLE, 4, 4
+        )
+    )
+    _strict_compare(spdf, opdf)
+    multi = dict(zip(spdf.doc_id, spdf.cluster_id))
+    # every single-family co-clustering survives in the union graph
+    sim = q.q_simhash_clusters(spark, SF).toPandas()
+    mh = q.q_minhash_dedup_clusters(spark, SF).toPandas()
+    for fam in (sim, mh):
+        by_cluster = fam.groupby("cluster_id").doc_id.agg(list)
+        for members in by_cluster:
+            assert len({multi[d] for d in members}) == 1
+    # and the multi clustering is at least as coarse (<= as many clusters)
+    assert spdf.cluster_id.nunique() <= min(
+        sim.cluster_id.nunique(), mh.cluster_id.nunique()
+    )

@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q.q_token_entropy,
         "gram_novelty_by_batch": q.q_gram_novelty_by_batch,
         "multi_signal_clusters": q.q_multi_signal_clusters,
+        "dedup_ablation": q.q_dedup_ablation,
+        "ivf_cell_stats": q.q_ivf_cell_stats,
+        "anchor_text_profile": q.q_anchor_text_profile,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
@@ -212,6 +215,11 @@ def oracle_sql() -> dict[str, str]:
         "multi_signal_clusters": o.sql_multi_signal_clusters(
             SIMHASH_RADIUS, ORACLE_MINHASH, K_SHINGLE, 4, 4
         ),
+        "dedup_ablation": o.sql_dedup_ablation(
+            SIMHASH_RADIUS, ORACLE_MINHASH, K_SHINGLE, 4, 4
+        ),
+        "ivf_cell_stats": o.sql_ivf_cell_stats(EMB_SCALE, 16),
+        "anchor_text_profile": o.sql_anchor_text_profile(q.ANCHOR_TERMS),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1
         ),

@@ -301,3 +301,40 @@ def ivf_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_cell_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """(cell_id, n_members, min_id, max_id): inverted-list sizes of the
+    sampled-quantizer IVF index — the S13-style observability surface for
+    the vector path. Cell-population skew is data-dependent; this table is
+    what hot_cap thresholds are SET from (read the histogram, pick the cap),
+    so it's a first-class gated surface rather than a debug print.
+
+    Same front half as _ivf_candidates (shared _scaled_vecs /
+    _sample_centroids helpers — one sampling implementation, no drift), with
+    the probe/candidate stages dropped: map-only broadcast assignment, one
+    window for the argmax cell, one partial-aggregated exchange on cell_id.
+    n_cells rows out by construction."""
+    spark = emb.sparkSession
+    vecs = _scaled_vecs(emb, id_col, vec_col)
+    cents = spark.createDataFrame(
+        _sample_centroids(vecs, n_cells), "cell_id int, cvec array<bigint>"
+    )
+    ccos = rcos6(F.col("_v"), F.col("cvec"))
+    w = Window.partitionBy("_id").orderBy(F.desc("_ccos"), F.asc("cell_id"))
+    members = (
+        vecs.join(F.broadcast(cents))
+        .select("_id", "cell_id", ccos.alias("_ccos"))
+        .select("_id", "cell_id", F.row_number().over(w).alias("_r"))
+        .filter(F.col("_r") == 1)
+    )
+    return members.groupBy("cell_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("_id").alias("min_id"),
+        F.max("_id").alias("max_id"),
+    )

@@ -2418,3 +2418,167 @@ reach (src, dst) AS (
     SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
+
+
+def sql_dedup_ablation(
+    radius: int,
+    params: MinHashParams,
+    k_shingle: int,
+    n_bands: int,
+    rows_per_band: int,
+    table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_dedup_ablation: the three cumulative edge
+    sets (exact / +simhash / +minhash-band) each closed with its own
+    recursive reach, folded to cluster counts and removal fractions. Shares
+    the sql_multi_signal_clusters leg arithmetic (5-prefixed minhash CTE
+    names for the same k=3/k=5 `shing` collision reason)."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(zip(params.a, params.b))
+    )
+
+    def cfg(name: str, reach: str) -> str:
+        return f"""
+SELECT '{name}' AS signals,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       ((SELECT count(*) FROM {table}) - count(DISTINCT cluster_id))::BIGINT
+           AS n_removed,
+       round(((SELECT count(*) FROM {table})
+              - count(DISTINCT cluster_id))::DOUBLE
+             / (SELECT count(*) FROM {table}), 6) + 0.0 AS removal_frac
+FROM (SELECT src, min(dst) AS cluster_id FROM {reach} GROUP BY src)"""
+
+    return f"""
+WITH RECURSIVE {cte_simhash(table)},
+ex AS (SELECT doc_id, md5(text) AS text_hash FROM {table}),
+p_ex AS (
+    SELECT x.doc_id AS u, y.doc_id AS v
+    FROM ex x JOIN ex y ON x.doc_id < y.doc_id AND x.text_hash = y.text_hash
+),
+p_sh AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+toklist5 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+shing5 AS (
+    SELECT doc_id, array_to_string(tl[i:i+{k_shingle - 1}], ' ') AS s
+    FROM toklist5, unnest(generate_series(1, len(tl) - {k_shingle - 1})) AS r(i)
+),
+sh_h5 AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing5),
+params (i, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT doc_id, i, min((a * h + b) % {MINHASH_PRIME}) AS v
+    FROM sh_h5 CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {rows_per_band} AS band_id,
+           string_agg(v, ',' ORDER BY i) AS band_key
+    FROM mh WHERE i < {n_bands * rows_per_band}
+    GROUP BY doc_id, i // {rows_per_band}
+),
+p_mh AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+e1 AS (SELECT u, v FROM p_ex UNION SELECT v, u FROM p_ex),
+e2 AS (
+    SELECT u, v FROM e1
+    UNION SELECT u, v FROM p_sh UNION SELECT v, u FROM p_sh
+),
+e3 AS (
+    SELECT u, v FROM e2
+    UNION SELECT u, v FROM p_mh UNION SELECT v, u FROM p_mh
+),
+r1 (src, dst) AS (
+    SELECT doc_id, doc_id FROM {table}
+    UNION SELECT r.src, s.v FROM r1 r JOIN e1 s ON r.dst = s.u
+),
+r2 (src, dst) AS (
+    SELECT doc_id, doc_id FROM {table}
+    UNION SELECT r.src, s.v FROM r2 r JOIN e2 s ON r.dst = s.u
+),
+r3 (src, dst) AS (
+    SELECT doc_id, doc_id FROM {table}
+    UNION SELECT r.src, s.v FROM r3 r JOIN e3 s ON r.dst = s.u
+)
+{cfg('1_exact', 'r1')}
+UNION ALL {cfg('2_exact+simhash', 'r2')}
+UNION ALL {cfg('3_exact+simhash+minhash', 'r3')}
+ORDER BY signals"""
+
+
+def sql_ivf_cell_stats(scale: int, n_cells: int = 16) -> str:
+    """Oracle for plans/queries.q_ivf_cell_stats: the _cte_ivf quantizer
+    replay's members_all inverted lists folded to per-cell population
+    stats (cand/probes CTEs present but unused — lazily skipped)."""
+    return f"""
+WITH {_cte_ivf(scale, n_cells, 1)}
+SELECT cell_id, count(*)::BIGINT AS n_members,
+       min(nid)::BIGINT AS min_id, max(nid)::BIGINT AS max_id
+FROM members_all GROUP BY 1 ORDER BY 1"""
+
+
+def sql_anchor_text_profile(
+    n_terms: int, n_domains: int = 20, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_anchor_text_profile: byte-identical
+    arithmetic anchor plant, DuckDB's own regexp extraction, and the argmax
+    as a row_number window (independent formulation of the engine's
+    max(struct) argmax)."""
+    anchors = []
+    for j in range(3):
+        anchors.append(
+            f"CASE WHEN doc_id % 4 > {j} THEN "
+            f"'<a href=\"http://site' || ((doc_id * 7 + {j} * 13) % {n_domains}) "
+            f"|| '.example.com/p/' || doc_id || '\">t' "
+            f"|| ((doc_id + {j} * 17) % {n_terms}) || '</a>' ELSE '' END"
+        )
+    pat = '<a href="http://([a-z0-9.]+)/[^"]*">(t[0-9]+)</a>'
+    return f"""
+WITH pages AS (
+    SELECT doc_id,
+           {anchors[0]} || '<p>' || text || '</p>' || {anchors[1]} || {anchors[2]}
+               AS html
+    FROM {table}
+),
+tags AS (
+    SELECT t.tag FROM pages,
+         unnest(regexp_extract_all(html, '{pat}', 0)) AS t(tag)
+),
+pairs AS (
+    SELECT regexp_extract(tag, '{pat}', 1) AS dst_domain,
+           regexp_extract(tag, '{pat}', 2) AS term
+    FROM tags
+),
+tc AS (
+    SELECT dst_domain, term, count(*)::BIGINT AS cnt
+    FROM pairs GROUP BY 1, 2
+),
+rk AS (
+    SELECT dst_domain, term, cnt,
+           row_number() OVER (
+               PARTITION BY dst_domain
+               ORDER BY cnt DESC, replace(term, 't', '')::BIGINT ASC
+           ) AS r
+    FROM tc
+),
+agg AS (
+    SELECT dst_domain, sum(cnt)::BIGINT AS n_inlinks,
+           count(*)::BIGINT AS n_unique_terms
+    FROM tc GROUP BY 1
+)
+SELECT a.dst_domain, a.n_inlinks, a.n_unique_terms,
+       r.term AS top_term, r.cnt AS top_term_count
+FROM agg a JOIN rk r ON a.dst_domain = r.dst_domain AND r.r = 1
+ORDER BY 1"""

@@ -2890,3 +2890,157 @@ def q_multi_signal_clusters(spark, sf_dir):
     return assign_clusters(
         d.select(F.col("doc_id").alias("id")), edges
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def q_dedup_ablation(spark, sf_dir):
+    """Dedup ABLATION table: the retention report curation papers publish —
+    clusters (= kept docs) and removable duplicates as each signal family is
+    cumulatively enabled: exact -> +simhash(banded, r=SIMHASH_RADIUS) ->
+    +minhash(4x4 bands). One row per configuration, so the marginal value
+    of every signature family is a first-class, gateable number (how many
+    extra dups does near-dedup find over exact? what does minhash add?).
+
+    Plan shape at 10^12 docs: ONE persisted signature projection feeds all
+    legs (each signature family computed once); each configuration reuses
+    the previous one's edge frames (union is exchange-free), so the total
+    cost is the three edge legs + three bounded CC closures — NOT 3x the
+    pipeline. Outputs are 3 rows by construction."""
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = with_text_hash(docs_with_sig(spark, sf_dir)).withColumn(
+        "minhash", mh(F.col("text"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = d.count()
+    ids = d.select(F.col("doc_id").alias("id"))
+    ex = exact_pairs(d, "doc_id", "text_hash").select("id_lo", "id_hi")
+    near = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi")
+    mhp = minhash_candidate_pairs(
+        d.select("doc_id", "minhash"), "doc_id", "minhash",
+        n_bands=4, rows_per_band=4,
+    ).select("id_lo", "id_hi")
+    configs = [
+        ("1_exact", ex),
+        ("2_exact+simhash", ex.unionByName(near)),
+        ("3_exact+simhash+minhash", ex.unionByName(near).unionByName(mhp)),
+    ]
+    outs = []
+    for name, edges in configs:
+        cl = assign_clusters(ids, edges)
+        outs.append(
+            cl.agg(F.countDistinct("cluster_id").alias("n_clusters")).select(
+                F.lit(name).alias("signals"),
+                "n_clusters",
+                (F.lit(n_docs) - F.col("n_clusters")).alias("n_removed"),
+                (
+                    F.round(
+                        (F.lit(n_docs) - F.col("n_clusters"))
+                        / F.lit(float(n_docs)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("removal_frac"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def q_ivf_cell_stats(spark, sf_dir):
+    """IVF inverted-list population table (operators/ivf.ivf_cell_stats):
+    the skew-observability surface the vector path's hot_cap is set from,
+    under the same quantizer-replay oracle as the ivf query family."""
+    from ..operators.ivf import ivf_cell_stats
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_cell_stats(e, n_cells=16)
+
+
+ANCHOR_TERMS = 40  # anchor-text vocabulary size for the anchor plant
+
+
+def q_anchor_text_profile(spark, sf_dir):
+    """Anchor-text aggregation per target domain — the classic web-corpus
+    signal (anchor terms describe the TARGET page better than its own text;
+    search/quality pipelines aggregate them per destination). Pages carry
+    doc_id % 4 anchors whose text is a term t{(doc_id + j*17) % ANCHOR_TERMS}
+    pointing at site{(doc_id*7 + j*13) % 20} — arithmetic-only, so the
+    DuckDB oracle synthesizes byte-identical html and extracts with ITS OWN
+    regexp (the domain_link_graph discipline). Per target domain: inlink
+    count, distinct anchor vocabulary, and the top term (count desc, term
+    asc).
+
+    Plan shape at 10^12 docs: map-only plant + regexp + explode -> one
+    partial-aggregated exchange on (dst_domain, term) -> the argmax via
+    max(struct) per domain (second exchange on the 20-value domain key) —
+    no window over an unbounded partition, no broadcast assumption."""
+    did = F.col("doc_id")
+    n = did % 4
+
+    def anchor(j: int):
+        tgt = (did * 7 + j * 13) % LINK_DOMAINS
+        term = (did + j * 17) % ANCHOR_TERMS
+        return F.when(
+            n > j,
+            F.concat(
+                F.lit('<a href="http://site'),
+                tgt.cast("string"),
+                F.lit('.example.com/p/'),
+                did.cast("string"),
+                F.lit('">t'),
+                term.cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            anchor(0), F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            anchor(1), anchor(2),
+        ).alias("html"),
+    )
+    pat = r'<a href="http://([a-z0-9.]+)/[^"]*">(t[0-9]+)</a>'
+    tags = pages.select(
+        F.explode(F.regexp_extract_all("html", F.lit(pat), F.lit(0))).alias(
+            "tag"
+        )
+    )
+    pairs = tags.select(
+        F.regexp_extract("tag", pat, 1).alias("dst_domain"),
+        F.regexp_extract("tag", pat, 2).alias("term"),
+    )
+    tc = pairs.groupBy("dst_domain", "term").agg(F.count("*").alias("cnt"))
+    # argmax term per domain without a window: max(struct(cnt, neg-term))
+    # — term asc on count ties via a 0-padded sortable term key
+    key = F.struct(
+        F.col("cnt").alias("c"),
+        F.lpad(F.regexp_replace("term", "t", ""), 8, "0").alias("tk"),
+    )
+    return (
+        tc.groupBy("dst_domain")
+        .agg(
+            F.sum("cnt").alias("n_inlinks"),
+            F.count("*").alias("n_unique_terms"),
+            F.max_by(
+                F.col("term"),
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (
+                        -F.regexp_replace("term", "t", "").cast("long")
+                    ).alias("nt"),
+                ),
+            ).alias("top_term"),
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (
+                        -F.regexp_replace("term", "t", "").cast("long")
+                    ).alias("nt"),
+                )
+            )["c"].alias("top_term_count"),
+        )
+    )

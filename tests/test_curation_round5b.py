@@ -35,6 +35,15 @@ def _oracle_df(sql: str):
     return con.sql(sql).df()
 
 
+def _oracle_df_emb(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF}/embeddings.parquet'"
+    )
+    return con.sql(sql).df()
+
+
 def _strict_compare(spdf, opdf):
     scols, skinds, srows = normalize_df(spdf)
     ocols, okinds, orows = normalize_df(opdf)
@@ -204,3 +213,69 @@ def test_multi_signal_clusters_refine_single_families(spark):
     assert spdf.cluster_id.nunique() <= min(
         sim.cluster_id.nunique(), mh.cluster_id.nunique()
     )
+
+
+def test_dedup_ablation_monotone_and_consistent(spark):
+    spdf = q.q_dedup_ablation(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_dedup_ablation(
+            q.SIMHASH_RADIUS, q.ORACLE_MINHASH, q.K_SHINGLE, 4, 4
+        )
+    )
+    _strict_compare(spdf, opdf)
+    s = spdf.sort_values("signals").reset_index(drop=True)
+    # cumulative signals can only merge clusters: n_clusters monotone down,
+    # removal monotone up
+    assert (s.n_clusters.diff().dropna() <= 0).all()
+    assert (s.n_removed.diff().dropna() >= 0).all()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert (s.n_clusters + s.n_removed == n_docs).all()
+    # the full config equals the gated multi_signal_clusters cluster count
+    multi = q.q_multi_signal_clusters(spark, SF).toPandas()
+    assert s.iloc[-1].n_clusters == multi.cluster_id.nunique()
+    # and the exact-only config equals the exact dup-group arithmetic
+    kl = q.q_dedup_keep_list(spark, SF).toPandas()
+    assert s.iloc[1].n_clusters == kl.cluster_id.nunique()
+
+
+def test_ivf_cell_stats_matches_engine_assignment(spark):
+    spdf = q.q_ivf_cell_stats(spark, SF).toPandas()
+    opdf = _oracle_df_emb(o.sql_ivf_cell_stats(q.EMB_SCALE, 16))
+    _strict_compare(spdf, opdf)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_valid = emb.filter(
+        "embedding is not null and size(embedding) > 0"
+    ).count()
+    assert spdf.n_members.sum() == n_valid  # every vector in exactly 1 cell
+    assert len(spdf) == 16
+    assert (spdf.min_id <= spdf.max_id).all()
+
+
+def test_anchor_text_profile_first_principles(spark):
+    spdf = q.q_anchor_text_profile(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_anchor_text_profile(q.ANCHOR_TERMS))
+    _strict_compare(spdf, opdf)
+    # independent Python replay of the plant
+    from collections import Counter
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    cnt = Counter()
+    for did in ids:
+        for j in range(did % 4):
+            dst = f"site{(did * 7 + j * 13) % 20}.example.com"
+            term = f"t{(did + j * 17) % q.ANCHOR_TERMS}"
+            cnt[(dst, term)] += 1
+    by_dom = {}
+    for (dst, term), c in cnt.items():
+        by_dom.setdefault(dst, []).append((term, c))
+    for r in spdf.itertuples():
+        terms = by_dom[r.dst_domain]
+        assert r.n_inlinks == sum(c for _, c in terms)
+        assert r.n_unique_terms == len(terms)
+        best = min(terms, key=lambda tc: (-tc[1], int(tc[0][1:])))
+        assert (r.top_term, r.top_term_count) == best

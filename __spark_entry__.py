@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ablation": q.q_dedup_ablation,
         "ivf_cell_stats": q.q_ivf_cell_stats,
         "anchor_text_profile": q.q_anchor_text_profile,
+        "simhash_pair_precision": q.q_simhash_pair_precision,
+        "domain_dup_affinity": q.q_domain_dup_affinity,
+        "cluster_diameter_stats": q.q_cluster_diameter_stats,
         "simhash_hot_bands": q.q_simhash_hot_bands,
         "best_simhash_match": q.q_best_simhash_match,
         "best_matching_source": q.q_best_matching_source,
@@ -220,6 +223,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_cell_stats": o.sql_ivf_cell_stats(EMB_SCALE, 16),
         "anchor_text_profile": o.sql_anchor_text_profile(q.ANCHOR_TERMS),
+        "simhash_pair_precision": o.sql_simhash_pair_precision(
+            SIMHASH_RADIUS, K_SHINGLE, q.PRECISION_TAU
+        ),
+        "domain_dup_affinity": o.sql_domain_dup_affinity(SIMHASH_RADIUS),
+        "cluster_diameter_stats": o.sql_cluster_diameter_stats(
+            SIMHASH_RADIUS
+        ),
         "simhash_hot_bands": o.sql_simhash_hot_bands(
             SIMHASH_RADIUS + 1, 1
         ),

@@ -2582,3 +2582,128 @@ SELECT a.dst_domain, a.n_inlinks, a.n_unique_terms,
        r.term AS top_term, r.cnt AS top_term_count
 FROM agg a JOIN rk r ON a.dst_domain = r.dst_domain AND r.r = 1
 ORDER BY 1"""
+
+
+def _cte_shing5(k_shingle: int, table: str = "documents") -> str:
+    """5-prefixed k-token shingle-set CTEs (toklist5/shing5/sh_h5) for
+    oracles that ALSO include cte_simhash (which owns the k=3 `shing`
+    name): ends in sh_h5(doc_id, h) — the distinct shingle-hash set."""
+    return f"""toklist5 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+shing5 AS (
+    SELECT doc_id, array_to_string(tl[i:i+{k_shingle - 1}], ' ') AS s
+    FROM toklist5, unnest(generate_series(1, len(tl) - {k_shingle - 1})) AS r(i)
+),
+sh_h5 AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing5)"""
+
+
+def sql_simhash_pair_precision(
+    radius: int,
+    k_shingle: int,
+    tau: float,
+    table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_simhash_pair_precision: radius pairs with
+    distance, exact shingle-set Jaccard re-verification, and the TP verdict
+    at tau over the round6-normalized value (same comparison operand as the
+    engine)."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)},
+{_cte_shing5(k_shingle, table)},
+pairs AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+           bit_count(xor(a.simhash, b.simhash))::INT AS distance
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+szs AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh_h5 GROUP BY doc_id),
+inter AS (
+    SELECT p.id_lo, p.id_hi, count(*)::BIGINT AS n_int
+    FROM pairs p
+    JOIN sh_h5 a ON a.doc_id = p.id_lo
+    JOIN sh_h5 b ON b.doc_id = p.id_hi AND b.h = a.h
+    GROUP BY p.id_lo, p.id_hi
+),
+ej AS (
+    SELECT p.id_lo, p.id_hi, p.distance,
+           round(coalesce(i.n_int, 0)::DOUBLE
+                 / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) + 0.0
+               AS exact_jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_lo = p.id_lo AND i.id_hi = p.id_hi
+    JOIN szs sa ON sa.doc_id = p.id_lo
+    JOIN szs sb ON sb.doc_id = p.id_hi
+)
+SELECT id_lo, id_hi, distance, exact_jaccard,
+       exact_jaccard >= {tau} AS is_tp
+FROM ej ORDER BY id_lo, id_hi"""
+
+
+def sql_domain_dup_affinity(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_domain_dup_affinity: radius pairs split
+    intra-/cross-source with counts and corpus-of-pairs fractions."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)},
+pairs AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+v AS (
+    SELECT CASE WHEN da.source = db.source THEN 'intra_source'
+                ELSE 'cross_source' END AS scope
+    FROM pairs p
+    JOIN {table} da ON da.doc_id = p.id_lo
+    JOIN {table} db ON db.doc_id = p.id_hi
+)
+SELECT scope, count(*)::BIGINT AS n_pairs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) + 0.0 AS frac
+FROM v GROUP BY 1 ORDER BY 1"""
+
+
+def sql_cluster_diameter_stats(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_cluster_diameter_stats: the recursive-CTE
+    cluster closure of sql_simhash_clusters, multi-member clusters only,
+    with the max pairwise Hamming distance (diameter) and chained flag."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH RECURSIVE {cte_simhash(table)},
+pairs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach (src, dst) AS (
+    SELECT doc_id, doc_id FROM sh
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+mem AS (
+    SELECT c.cluster_id, c.doc_id, s.simhash
+    FROM clusters c JOIN sh s USING (doc_id)
+),
+w AS (
+    SELECT a.cluster_id, a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS dist
+    FROM mem a JOIN mem b
+      ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+)
+SELECT cluster_id, (count(DISTINCT id_a) + 1)::BIGINT AS n_members,
+       max(dist)::BIGINT AS diameter,
+       max(dist) > {radius} AS chained
+FROM w GROUP BY 1 ORDER BY 1"""

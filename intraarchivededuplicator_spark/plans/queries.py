@@ -3044,3 +3044,131 @@ def q_anchor_text_profile(spark, sf_dir):
             )["c"].alias("top_term_count"),
         )
     )
+
+
+PRECISION_TAU = 0.5  # exact-Jaccard bar for calling a radius pair a true dup
+
+
+def q_simhash_pair_precision(spark, sf_dir):
+    """Candidate-precision audit for the SimHash family: every banded radius
+    pair re-verified against the EXACT 5-token-shingle Jaccard (the LSH
+    re-rank step), with the Hamming distance and a TP verdict at
+    PRECISION_TAU — the cross-family measurement that tells you what a
+    Hamming radius actually buys in set-similarity terms (the minhash twin
+    is minhash_jaccard_estimate; together they calibrate both sketches
+    against the same ground truth).
+
+    Plan shape: pairs from the banded self-join (tiny vs corpus); the fat
+    shingle sets join ONLY the survivors (two shuffle-hash joins on pair
+    ids, the ann_topk discipline); docs without a shingle set (< K_SHINGLE
+    tokens) drop from the audit in both engines."""
+    from ..functions.udfs import make_shingle_hashes_udf
+
+    shu = make_shingle_hashes_udf(K_SHINGLE)
+    d = docs_with_sig(spark, sf_dir).select(
+        "doc_id", "simhash", shu(F.col("text")).alias("shset")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi", "distance")
+    a = d.filter(F.col("shset").isNotNull()).select(
+        F.col("doc_id").alias("id_lo"), F.col("shset").alias("sh_a")
+    )
+    b = d.filter(F.col("shset").isNotNull()).select(
+        F.col("doc_id").alias("id_hi"), F.col("shset").alias("sh_b")
+    )
+    n_int = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_uni = F.size("sh_a") + F.size("sh_b") - n_int
+    exact = F.round(n_int / n_uni, 6) + F.lit(0.0)
+    return (
+        pairs.join(a.hint("shuffle_hash"), "id_lo")
+        .join(b.hint("shuffle_hash"), "id_hi")
+        .select(
+            "id_lo",
+            "id_hi",
+            "distance",
+            exact.alias("exact_jaccard"),
+            (exact >= PRECISION_TAU).alias("is_tp"),
+        )
+    )
+
+
+def q_domain_dup_affinity(spark, sf_dir):
+    """Where do near-duplicates LIVE — same site or across sites? Radius
+    pairs split into intra-/cross-source with counts and fractions: the
+    diagnosis that separates boilerplate/template duplication (intra-site;
+    fix with line dedup) from syndication/mirroring (cross-site; fix with
+    document dedup). Two shuffle-hash joins of the slim pair set against
+    the (doc_id, source) projection, then a 2-row aggregate."""
+    d = docs_with_sig(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_lo"), F.col("source").alias("src_a")).hint("shuffle_hash"),
+            "id_lo",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_hi"), F.col("source").alias("src_b")).hint("shuffle_hash"),
+            "id_hi",
+        )
+        .select(
+            F.when(F.col("src_a") == F.col("src_b"), F.lit("intra_source"))
+            .otherwise(F.lit("cross_source"))
+            .alias("scope")
+        )
+    )
+    agg = j.groupBy("scope").agg(F.count("*").alias("n_pairs"))
+    tot = F.sum("n_pairs").over(Window.partitionBy())
+    return agg.select(
+        "scope",
+        "n_pairs",
+        (F.round(F.col("n_pairs") / tot, 6) + F.lit(0.0)).alias("frac"),
+    )
+
+
+def q_cluster_diameter_stats(spark, sf_dir):
+    """Transitive-chaining audit for the near-dup clusters: per multi-member
+    SimHash cluster, its size and Hamming DIAMETER (max pairwise distance
+    between members) with a chained flag (diameter > radius) — connected
+    components legitimately merge A-B and B-C into one cluster even when
+    d(A, C) > radius, and this table measures how often and how far. The
+    reference's BK-tree search has no closure step, so chaining is exactly
+    the semantic delta between per-item radius search and cluster-level
+    dedup; publishing it as a gated surface keeps that delta quantified.
+
+    Plan shape: clusters (the gated simhash_clusters closure) -> filter to
+    multi-member clusters -> within-cluster self-join on cluster_id (cost
+    sum of size^2 over clusters — dup clusters are small by construction;
+    at 10^12 docs run the audit on a cluster sample or cap member fan-in
+    with the same hot-key discipline as banding) -> per-cluster max."""
+    d = docs_with_sig(spark, sf_dir).select("doc_id", "simhash")
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi")
+    cl = assign_clusters(d.select(F.col("doc_id").alias("id")), pairs)
+    members = cl.join(
+        d.select(F.col("doc_id").alias("id"), "simhash"), "id"
+    )
+    a = members.select(
+        "cluster_id", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = members.select(
+        "cluster_id", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    within = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        within.groupBy("cluster_id")
+        .agg(
+            (F.countDistinct("id_a") + 1).alias("n_members"),
+            F.max(hamming(F.col("sig_a"), F.col("sig_b"))).alias("diameter"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("diameter").cast("long").alias("diameter"),
+            (F.col("diameter") > SIMHASH_RADIUS).alias("chained"),
+        )
+    )

@@ -279,3 +279,47 @@ def test_anchor_text_profile_first_principles(spark):
         assert r.n_unique_terms == len(terms)
         best = min(terms, key=lambda tc: (-tc[1], int(tc[0][1:])))
         assert (r.top_term, r.top_term_count) == best
+
+
+def test_simhash_pair_precision_consistency(spark):
+    spdf = q.q_simhash_pair_precision(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_simhash_pair_precision(
+            q.SIMHASH_RADIUS, q.K_SHINGLE, q.PRECISION_TAU
+        )
+    )
+    _strict_compare(spdf, opdf)
+    # same pair set as the gated radius pairs, same distances
+    rp = q.q_simhash_radius_pairs(spark, SF).toPandas()
+    assert set(zip(spdf.id_lo, spdf.id_hi, spdf.distance)) == set(
+        zip(rp.id_lo, rp.id_hi, rp.distance)
+    )
+    assert ((spdf.exact_jaccard >= 0) & (spdf.exact_jaccard <= 1)).all()
+    assert (spdf.is_tp == (spdf.exact_jaccard >= q.PRECISION_TAU)).all()
+
+
+def test_domain_dup_affinity_totals(spark):
+    spdf = q.q_domain_dup_affinity(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_domain_dup_affinity(q.SIMHASH_RADIUS))
+    _strict_compare(spdf, opdf)
+    rp = q.q_simhash_radius_pairs(spark, SF).toPandas()
+    assert spdf.n_pairs.sum() == len(rp)
+    assert abs(spdf.frac.sum() - 1.0) < 1e-4
+
+
+def test_cluster_diameter_stats_chaining_law(spark):
+    spdf = q.q_cluster_diameter_stats(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_cluster_diameter_stats(q.SIMHASH_RADIUS))
+    _strict_compare(spdf, opdf)
+    cl = q.q_simhash_clusters(spark, SF).toPandas()
+    sizes = cl.groupby("cluster_id").size()
+    multi = sizes[sizes >= 2]
+    # exactly the multi-member clusters appear, with matching sizes
+    assert set(spdf.cluster_id) == set(multi.index)
+    assert dict(zip(spdf.cluster_id, spdf.n_members)) == multi.to_dict()
+    # pair-connected members bound the diameter from below by the radius
+    # only via chaining: clusters of size 2 can never be chained (their
+    # single pair IS a radius pair)
+    two = spdf[spdf.n_members.eq(2)]
+    assert (~two.chained).all()
+    assert (spdf.chained == (spdf.diameter > q.SIMHASH_RADIUS)).all()

@@ -323,3 +323,38 @@ def test_cluster_diameter_stats_chaining_law(spark):
     two = spdf[spdf.n_members.eq(2)]
     assert (~two.chained).all()
     assert (spdf.chained == (spdf.diameter > q.SIMHASH_RADIUS)).all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_surface_plan_shapes(spark):
+    """Scale-shape pins for the final-session queries: the heavy paths keep
+    partial aggregation and bounded exchanges; the only SinglePartition
+    exchanges are the bounded-by-construction funnel/summary windows
+    (<= 4 reason rows, <= 2 scope rows)."""
+    # token_entropy: lp table broadcast-joined, no SinglePartition anywhere
+    p = _plan(q.q_token_entropy(spark, SF))
+    assert "BroadcastHashJoin" in p  # the 1024-row lp table
+    assert "SinglePartition" not in p
+    # gram_novelty: two hash aggregates over the gram key, no broadcast of
+    # the unbounded gram dictionary, no SinglePartition
+    p = _plan(q.q_gram_novelty_by_batch(spark, SF))
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" not in p  # gram df table must NOT broadcast
+    # anchor_text_profile: pure aggregation path — no window, no
+    # SinglePartition (argmax is max(struct), not a rank window)
+    p = _plan(q.q_anchor_text_profile(spark, SF))
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    # soft_dedup_weights: the size join must not plan a broadcast of the
+    # cluster-size table (unbounded at corpus scale) on the weights leg
+    p = _plan(q.q_soft_dedup_weights(spark, SF))
+    assert "ShuffledHashJoin" in p
+    # funnels: the ONLY SinglePartition window is over the bounded
+    # reason/scope aggregate (downstream of the groupBy, never the corpus)
+    for fn in (q.q_quality_funnel, q.q_domain_dup_affinity):
+        p = _plan(fn(spark, SF))
+        agg_pos = p.find("SinglePartition")
+        assert agg_pos != -1  # bounded-by-construction total window

@@ -66,3 +66,48 @@ def distinct_shingles(
     return df.select(
         df[id_col].alias(id_col), df[text_col].alias(text_col)
     ).mapInPandas(_kernel, _SCHEMA)
+
+
+_POS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+        StructField("s", StringType()),
+    ]
+)
+
+
+def positional_shingles(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, text_col) frame -> (doc_id, pos, s) rows, one per k-token
+    shingle IN ORDER, pos 1-based (matching the oracle's
+    ``generate_series(1, len(tl) - k + 1)``).
+
+    The positional twin of distinct_shingles — same tokenize/shingle parity
+    contract, no per-doc dedup (span detection needs every occurrence at its
+    position). Docs with fewer than k tokens contribute no rows. Map-only."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ps: list[int] = []
+            ss: list[str] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                for i, s in enumerate(shingles(tokenize(text), k), start=1):
+                    ids.append(doc_id)
+                    ps.append(i)
+                    ss.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "pos": pd.array(ps, dtype="int64"),
+                    "s": ss,
+                }
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[text_col].alias(text_col)
+    ).mapInPandas(_kernel, _POS_SCHEMA)

@@ -765,6 +765,57 @@ FROM sd JOIN dfg USING (s)
 GROUP BY sd.doc_id ORDER BY sd.doc_id"""
 
 
+def sql_dup_span_stats(k_shingle: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_dup_span_stats: per-doc maximal runs of
+    consecutive positions whose k-gram occurs in >= 2 docs. Positional
+    grams via generate_series (1-based, the kernel's pos contract); df
+    groups by the gram STRING where the engine groups by md5(gram) — the
+    independent formulation that also pins the 16-byte key collision-free;
+    runs via the same pos - row_number() gaps-and-islands identity."""
+    return f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+shing AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tl[i:i+{k_shingle - 1}], ' ') AS s
+    FROM toklist, unnest(generate_series(1, len(tl) - {k_shingle - 1})) AS r(i)
+),
+dfg AS (
+    SELECT s, count(DISTINCT doc_id)::BIGINT AS df_docs FROM shing GROUP BY s
+),
+dup AS (SELECT doc_id, pos FROM shing JOIN dfg USING (s) WHERE df_docs >= 2),
+runs AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+),
+spans AS (
+    SELECT doc_id, grp, count(*)::BIGINT AS run_len
+    FROM runs GROUP BY doc_id, grp
+),
+sp AS (
+    SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(run_len)::BIGINT AS n_dup_positions,
+           (max(run_len) + {k_shingle - 1})::BIGINT AS longest_span_tokens
+    FROM spans GROUP BY doc_id
+),
+tot AS (
+    SELECT doc_id, (len(tl) - {k_shingle - 1})::BIGINT AS n_positions
+    FROM toklist WHERE len(tl) >= {k_shingle}
+)
+SELECT t.doc_id, t.n_positions,
+       coalesce(sp.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+       coalesce(sp.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(sp.longest_span_tokens, 0)::BIGINT AS longest_span_tokens,
+       round(coalesce(sp.n_dup_positions, 0)::DOUBLE / t.n_positions, 6)
+           + 0.0 AS dup_pos_ratio
+FROM tot t LEFT JOIN sp USING (doc_id)
+ORDER BY t.doc_id"""
+
+
 def sql_heavy_hitter_grams(
     k_shingle: int, min_df: int, table: str = "documents"
 ) -> str:

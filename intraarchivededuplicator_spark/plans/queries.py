@@ -1336,6 +1336,73 @@ def q_dup_gram_stats(spark, sf_dir):
     )
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact duplicated-SPAN statistics (the Lee et al. 2022 exact-substring
+    dedup signal at maximal-run granularity): per doc, its positional
+    K_SHINGLE-token grams, the positions whose gram occurs in >= 2 corpus
+    docs, and the MAXIMAL RUNS of consecutive duplicated positions — each
+    run is a contiguous duplicated span of run_len + K_SHINGLE - 1 tokens,
+    exactly the spans a suffix-array substring-dedup stage would cut.
+    Generalizes the reference's whole-member exact hashing
+    (/root/reference/deduplicator/ProcessArchive.py content-hash dedup) to
+    sub-document spans; complements dup_gram_stats (coverage without
+    adjacency) and cdc_chunk_stats (byte chunks without token alignment).
+
+    Plan shape at 10^12 docs: positional shingle kernel (map-only) -> md5
+    16-byte gram keys so the exchange never carries gram text -> ONE
+    partial-aggregated exchange for gram df (count distinct docs) -> shuffle
+    join occurrences x duplicated-gram keys (df filter FIRST: only
+    duplicated grams re-enter the wire) -> gaps-and-islands run detection
+    under ONE doc_id exchange (the row_number window's HashPartitioning on
+    doc_id satisfies every downstream doc-grouped aggregation, so the span
+    tail re-uses the exchange) -> map-only per-doc token counts join the
+    span aggregate back on doc_id. Docs with < K_SHINGLE tokens emit no row
+    (signature-query convention)."""
+    from ..functions.shingle_kernel import positional_shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = positional_shingles(d, K_SHINGLE).select(
+        "doc_id", "pos", F.unhex(F.md5("s")).alias("g")
+    )
+    dfg = occ.groupBy("g").agg(F.countDistinct("doc_id").alias("df_docs"))
+    dup = occ.join(dfg.filter(F.col("df_docs") >= 2), "g").select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    sp = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("run_len").alias("n_dup_positions"),
+        (F.max("run_len") + F.lit(K_SHINGLE - 1)).alias("longest_span_tokens"),
+    )
+    tot = d.select(
+        "doc_id",
+        (F.size(tokens("text")) - F.lit(K_SHINGLE - 1))
+        .cast("long")
+        .alias("n_positions"),
+    ).filter(F.col("n_positions") >= 1)
+    return tot.join(sp, "doc_id", "left").select(
+        "doc_id",
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("longest_span_tokens", F.lit(0)).cast("long").alias(
+            "longest_span_tokens"
+        ),
+        (
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+                / F.col("n_positions"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_pos_ratio"),
+    )
+
+
 HH_MIN_DF = 3  # registry threshold (the reference's >500-matches knob scaled
 # to the gated corpora: df>=3 is 74 grams at sf0.01, 550 at sf0.1)
 HH_LOCAL_PARTS = 2  # forces ceil(3/2)=2 so the pass-1 prune bites at gate SF

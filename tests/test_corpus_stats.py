@@ -461,3 +461,104 @@ def test_charlm_quality_first_principles(spark):
     # the training slice) and, at larger SFs, both flag values; at sf0.001
     # at least assert score spread is real
     assert len({v[1] for v in want.values()}) > 10
+
+
+def _write_span_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_dup_span_stats_planted(spark, tmp_path):
+    """Planted spans pin the run arithmetic (K_SHINGLE=5): docs 0/1 share a
+    10-token run -> 6 consecutive dup positions -> ONE span of 10 tokens;
+    doc 2 carries TWO disjoint 5-token shared runs -> two 1-gram spans of
+    5 tokens each; doc 3 contributes the second copy of the h-run with its
+    flanks unique; doc 4 is sub-shingle-length (no row); doc 5 shares
+    nothing (zero spans, ratio 0.0)."""
+    assert q.K_SHINGLE == 5
+    s10 = " ".join(f"s{i}" for i in range(1, 11))
+    s5 = "s1 s2 s3 s4 s5"
+    h5 = "h1 h2 h3 h4 h5"
+    rows = [
+        (0, f"c1 c2 c3 c4 {s10} d1 d2 d3 d4 d5 d6", "en"),
+        (1, f"e1 e2 {s10} f1 f2 f3 f4", "en"),
+        (2, f"{s5} u1 u2 u3 u4 {h5}", "en"),
+        (3, f"z1 {h5} z2", "en"),
+        (4, "w1 w2 w3", "en"),
+        (5, "v1 v2 v3 v4 v5 v6", "en"),
+    ]
+    sf_dir = _write_span_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (
+            r["n_positions"],
+            r["n_dup_positions"],
+            r["n_spans"],
+            r["longest_span_tokens"],
+            r["dup_pos_ratio"],
+        )
+        for r in q.q_dup_span_stats(spark, sf_dir).collect()
+    }
+    assert got == {
+        0: (16, 6, 1, 10, 0.375),
+        1: (12, 6, 1, 10, 0.5),
+        2: (10, 2, 2, 5, 0.2),
+        3: (3, 1, 1, 5, round(1 / 3, 6)),
+        5: (2, 0, 0, 0, 0.0),
+    }
+
+
+def test_dup_span_stats_first_principles(spark):
+    """Positional grams, corpus df, gaps-and-islands runs — recomputed in
+    pure Python from the sf0.001 parquet, independent of Spark and DuckDB."""
+    pdf = _docs()[["doc_id", "text"]]
+    per_doc: dict[int, list[str]] = {}
+    for r in pdf.itertuples():
+        gs = shingles(tokenize(r.text), q.K_SHINGLE)
+        if gs:
+            per_doc[int(r.doc_id)] = gs
+    df: dict[str, set[int]] = {}
+    for d, gs in per_doc.items():
+        for g in gs:
+            df.setdefault(g, set()).add(d)
+    want = {}
+    for d, gs in per_doc.items():
+        runs, cur = [], 0
+        for g in gs:
+            if len(df[g]) >= 2:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        n_dup = sum(runs)
+        longest = (max(runs) + q.K_SHINGLE - 1) if runs else 0
+        want[d] = (
+            len(gs),
+            n_dup,
+            len(runs),
+            longest,
+            round(n_dup / len(gs), 6),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_positions"],
+            r["n_dup_positions"],
+            r["n_spans"],
+            r["longest_span_tokens"],
+            r["dup_pos_ratio"],
+        )
+        for r in q.q_dup_span_stats(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert got[d][:4] == w[:4], d
+        assert got[d][4] == pytest.approx(w[4])
+    # the corpus must exercise spans on both sides: some docs with multiple
+    # spans, some with none
+    assert any(w[2] >= 2 for w in want.values())
+    assert any(w[2] == 0 for w in want.values())

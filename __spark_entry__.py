@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_ann": q.q_embedding_near_pairs_ann,
         "embedding_near_pairs_ivf": q.q_embedding_near_pairs_ivf,
         "embedding_dup_clusters": q.q_embedding_dup_clusters,
+        "ann_recall_audit": q.q_ann_recall_audit,
         # masks + prefix scan (P3/P5)
         "source_prefix_scan": q.q_source_prefix_scan,
         "masked_match_candidates": q.q_masked_match_candidates,
@@ -310,6 +311,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_dup_clusters": o.sql_embedding_dup_clusters(
             EMB_SCALE, threshold=0.4, n_cells=16, nprobe=4
+        ),
+        "ann_recall_audit": o.sql_ann_recall_audit(
+            EMB_SCALE, k=3, n_cells=16, nprobe=4
         ),
         "source_prefix_scan": o.sql_source_prefix_scan("src1", K_SHINGLE),
         "masked_match_candidates": o.sql_masked_match_candidates(

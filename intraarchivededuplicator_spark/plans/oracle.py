@@ -1894,6 +1894,71 @@ FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
+def sql_ann_recall_audit(
+    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for plans/queries.q_ann_recall_audit: per-vector recall@k of
+    the IVF top-k against the exact brute-force top-k. Reuses _cte_ivf for
+    the candidacy spec (which brings ev/norms), re-derives the exact
+    ranking under x-prefixed CTE names, and intersects the two k-sets."""
+    return f"""
+WITH {_cte_ivf(scale, n_cells, nprobe)},
+xdots AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           sum(a.v * b.v)::BIGINT AS dot
+    FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+xscored AS (
+    SELECT d.vec_id, d.neighbor_id,
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
+    FROM xdots d JOIN norms x ON d.vec_id = x.vec_id
+                 JOIN norms y ON d.neighbor_id = y.vec_id
+),
+xrank AS (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM xscored
+),
+ex AS (SELECT vec_id, neighbor_id FROM xrank WHERE rank <= {k}),
+vdots AS (
+    SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
+    FROM cand q
+    JOIN ev a ON a.vec_id = q.qid
+    JOIN ev b ON b.vec_id = q.nid AND b.i = a.i
+    GROUP BY q.qid, q.nid
+),
+vscored AS (
+    SELECT d.qid, d.nid,
+           round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) + 0.0 AS cosine
+    FROM vdots d JOIN norms x ON d.qid = x.vec_id
+                 JOIN norms y ON d.nid = y.vec_id
+),
+vrank AS (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rank
+    FROM vscored
+),
+an AS (SELECT qid AS vec_id, nid AS neighbor_id FROM vrank WHERE rank <= {k}),
+ecnt AS (SELECT vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY vec_id),
+acnt AS (SELECT vec_id, count(*)::BIGINT AS n_ann FROM an GROUP BY vec_id),
+mcnt AS (
+    SELECT e.vec_id, count(*)::BIGINT AS n_matched
+    FROM ex e JOIN an a
+      ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.vec_id
+)
+SELECT e.vec_id, e.n_exact,
+       coalesce(a.n_ann, 0)::BIGINT AS n_ann,
+       coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+       round(coalesce(m.n_matched, 0)::DOUBLE / e.n_exact, 6) + 0.0 AS recall
+FROM ecnt e LEFT JOIN acnt a USING (vec_id)
+            LEFT JOIN mcnt m ON m.vec_id = e.vec_id
+ORDER BY e.vec_id"""
+
+
 def sql_embedding_dup_clusters(
     scale: int,
     threshold: float,

@@ -1757,6 +1757,49 @@ def q_embedding_near_pairs_ivf(spark, sf_dir):
     return ivf_near_pairs(e, threshold=0.4, n_cells=16, nprobe=4)
 
 
+def q_ann_recall_audit(spark, sf_dir):
+    """ANN quality audit: recall@3 of the IVF-routed top-k
+    (q_embedding_knn_ivf) against the exact brute-force top-k
+    (q_embedding_knn), per query vector — the metric (n_cells, nprobe) is
+    tuned against at scale, computed hash-exactly because BOTH rankings are
+    deterministic (rcos6 rounding + ascending-id tie-break) and IVF cell
+    candidacy is itself part of the differential spec (operators/ivf.py).
+
+    Plan shape at 10^12 docs: this is an AUDIT over two top-k outputs —
+    k rows per vector each — so every exchange below the knn frames is
+    O(k·n); run it over a sampled probe set when the brute-force leg is too
+    big (the sample bound, not this query, is the scale knob). n_ann < k
+    happens when probed cells hold fewer than k candidates; n_matched
+    counts the set intersection."""
+    exact = q_embedding_knn(spark, sf_dir).select("vec_id", "neighbor_id")
+    ann = q_embedding_knn_ivf(spark, sf_dir).select("vec_id", "neighbor_id")
+    ecnt = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
+    acnt = ann.groupBy("vec_id").agg(F.count("*").alias("n_ann"))
+    mcnt = (
+        exact.join(ann, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        ecnt.join(acnt, "vec_id", "left")
+        .join(mcnt, "vec_id", "left")
+        .select(
+            "vec_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            (
+                F.round(
+                    F.coalesce("n_matched", F.lit(0)).cast("double")
+                    / F.col("n_exact"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_embedding_dup_clusters(spark, sf_dir):
     """SemDeDup-style semantic duplicate clusters: IVF-routed cosine
     near-pairs (>= 0.4, same quantizer/config as q_embedding_near_pairs_ivf)

@@ -1162,3 +1162,42 @@ class TestKmeansQuantizer:
         r_kmeans = len(kmeans & exact) / len(exact)
         assert r_kmeans >= r_sampled
         assert r_kmeans >= 0.9
+
+
+class TestAnnRecallAudit:
+    def test_composition_and_floor(self, spark):
+        """q_ann_recall_audit recomputed from the two gated top-k outputs it
+        audits (set intersection in Python): counts and the rounded recall
+        must match, and the sf0.001 config must exercise both perfect and
+        imperfect recall rows so the audit is non-trivial."""
+        from intraarchivededuplicator_spark.plans import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        exact: dict[int, set[int]] = {}
+        for r in q.q_embedding_knn(spark, sf).collect():
+            exact.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        ann: dict[int, set[int]] = {}
+        for r in q.q_embedding_knn_ivf(spark, sf).collect():
+            ann.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+
+        got = {
+            r["vec_id"]: (
+                r["n_exact"],
+                r["n_ann"],
+                r["n_matched"],
+                r["recall"],
+            )
+            for r in q.q_ann_recall_audit(spark, sf).collect()
+        }
+        assert set(got) == set(exact)
+        for v, e in exact.items():
+            a = ann.get(v, set())
+            m = len(e & a)
+            assert got[v][:3] == (len(e), len(a), m), v
+            assert got[v][3] == round(m / len(e), 6), v
+        recalls = [g[3] for g in got.values()]
+        assert any(r == 1.0 for r in recalls)
+        assert any(r < 1.0 for r in recalls)
+        # random sf0.001 vectors at nprobe 4/16: measured mean ~0.486; the
+        # floor only guards against a degenerate (all-zero-recall) audit
+        assert sum(recalls) / len(recalls) >= 0.3

@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_long": q.q_minhash_signatures_long,
         "minhash_band_pairs": q.q_minhash_band_pairs,
         "minhash_jaccard_estimate": q.q_minhash_jaccard_estimate,
+        "minhash_recall_audit": q.q_minhash_recall_audit,
         "minhash_dedup_clusters": q.q_minhash_dedup_clusters,
         # set-similarity + containment (J12)
         "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
@@ -251,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
         "minhash_dedup_clusters": o.sql_minhash_dedup_clusters(
+            ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
+        ),
+        "minhash_recall_audit": o.sql_minhash_recall_audit(
             ORACLE_MINHASH, K_SHINGLE, n_bands=4, rows_per_band=4
         ),
         "ngram_jaccard_pairs": o.sql_ngram_jaccard_pairs(3, 0.8),

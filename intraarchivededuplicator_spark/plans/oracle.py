@@ -1132,6 +1132,61 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id ORDER BY id_lo, id_hi"""
 
 
+def sql_minhash_recall_audit(
+    params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int,
+    table: str = "documents",
+) -> str:
+    """Oracle for plans/queries.q_minhash_recall_audit: truth pairs from
+    the exact distinct-shingle-hash Jaccard (2*i >= u integer boundary),
+    bucketed by (10*i) // u, left-joined against the banded MinHash
+    candidate pairs. Re-derives BOTH legs independently of the engine's
+    operators (shared-gram self-join for the truth leg vs the engine's
+    prefix filter; band string_agg keys vs the engine's struct keys)."""
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(zip(params.a, params.b))
+    )
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+sh_h AS (SELECT DISTINCT doc_id, {sql_shingle_hash32('s')} AS h FROM shing),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh_h GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*)::BIGINT AS i
+    FROM sh_h a JOIN sh_h b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT id_lo, id_hi, (10 * i) // (sa.n + sb.n - i) AS bucket_tenths
+    FROM inter JOIN sizes sa ON sa.doc_id = id_lo
+               JOIN sizes sb ON sb.doc_id = id_hi
+    WHERE 2 * i >= sa.n + sb.n - i
+),
+params (i, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT doc_id, i, min((a * h + b) % {MINHASH_PRIME}) AS v
+    FROM sh_h CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {rows_per_band} AS band_id,
+           string_agg(v, ',' ORDER BY i) AS band_key
+    FROM mh WHERE i < {n_bands * rows_per_band}
+    GROUP BY doc_id, i // {rows_per_band}
+),
+cpair AS (
+    SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+SELECT e.bucket_tenths, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN c.id_lo IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_caught,
+       round(sum(CASE WHEN c.id_lo IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS recall
+FROM ex e LEFT JOIN cpair c
+  ON c.id_lo = e.id_lo AND c.id_hi = e.id_hi
+GROUP BY e.bucket_tenths ORDER BY e.bucket_tenths"""
+
+
 def sql_minhash_dedup_clusters(
     params: MinHashParams, k_shingle: int, n_bands: int, rows_per_band: int,
     table: str = "documents",

@@ -446,6 +446,88 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+MH_RECALL_T = 0.5  # exact-Jaccard floor for the recall audit's truth set
+
+
+def q_minhash_recall_audit(spark, sf_dir):
+    """LSH S-curve recall audit — the complement of simhash_pair_precision:
+    of the TRUE near-dup pairs (exact distinct-shingle Jaccard >=
+    MH_RECALL_T, computed by the prefix-filtered exact set-similarity
+    join), which does the gated 4x4 MinHash banding catch? Bucketed by
+    Jaccard tenths via pure integer arithmetic ((10*i) div u — an FP bucket
+    would misplace boundary pairs like 3/5), with per-bucket recall. This
+    is the measured S-curve the (n_bands, rows_per_band) geometry is chosen
+    from; the bar the north rule sets for the flagship (recall >= 0.99) is
+    evidenced at the cluster level in BENCH/BASELINE.md — this query puts
+    the per-band-geometry measurement itself under the hash-exact gate.
+
+    Plan shape at 10^12 docs: the truth leg is the exact set-similarity
+    join (prefix-filtered, candidate volume tracks pair density); the audit
+    leg is the banded self-join; both are gated operators already — the
+    audit adds one pair-keyed left join and a <=6-row aggregation. At a
+    scale where the exact leg is unaffordable corpus-wide, run the audit on
+    a deterministic sample (the sample bound is the knob, not this plan).
+    Boundary discipline: the truth filter is expressed as 2*i >= u in BOTH
+    engines (for i,u << 2^52 this is exactly the FP j >= 0.5 the operator
+    applies, made explicit)."""
+    from ..functions.udfs import make_minhash_udf, make_shingle_hashes_udf
+    from ..operators.setsim import jaccard_self_join
+
+    mh = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    shu = make_shingle_hashes_udf(K_SHINGLE)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            mh(F.col("text")).alias("minhash"),
+            shu(F.col("text")).alias("shset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact = jaccard_self_join(
+        d.filter(F.col("shset").isNotNull()).select("doc_id", "shset"),
+        "doc_id",
+        "shset",
+        MH_RECALL_T,
+    ).select("id_lo", "id_hi", "n_shared")
+    sizes = d.filter(F.col("shset").isNotNull()).select(
+        "doc_id", F.size("shset").cast("long").alias("n")
+    )
+    ex = (
+        exact.join(
+            sizes.select(F.col("doc_id").alias("id_lo"), F.col("n").alias("n_lo")),
+            "id_lo",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_hi"), F.col("n").alias("n_hi")),
+            "id_hi",
+        )
+        .withColumn("u", F.col("n_lo") + F.col("n_hi") - F.col("n_shared"))
+        .filter(F.expr("2 * n_shared >= u"))
+        .select("id_lo", "id_hi", F.expr("(10 * n_shared) div u").alias("bucket_tenths"))
+    )
+    cand = minhash_candidate_pairs(
+        d, "doc_id", "minhash", n_bands=4, rows_per_band=4
+    ).select("id_lo", "id_hi", F.lit(1).alias("caught"))
+    return (
+        ex.join(cand, ["id_lo", "id_hi"], "left")
+        .groupBy("bucket_tenths")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce("caught", F.lit(0))).cast("long").alias("n_caught"),
+        )
+        .select(
+            "bucket_tenths",
+            "n_pairs",
+            "n_caught",
+            (
+                F.round(F.col("n_caught").cast("double") / F.col("n_pairs"), 6)
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_minhash_dedup_clusters(spark, sf_dir):
     """MinHash-LSH dedup clusters — the third member of the clustering trio
     (exact md5 groups, SimHash banded Hamming, MinHash banded Jaccard), so

@@ -562,3 +562,64 @@ def test_dup_span_stats_first_principles(spark):
     # spans, some with none
     assert any(w[2] >= 2 for w in want.values())
     assert any(w[2] == 0 for w in want.values())
+
+
+def test_minhash_recall_audit_planted(spark, tmp_path):
+    """Planted mid-Jaccard corpus pins the audit against a pure-Python
+    recompute (shingle_hash32 sets -> integer buckets; minhash_sig -> 4x4
+    band keys -> candidate pairs). The corpus is built so the truth set
+    spans several buckets; catch/miss per pair falls out of the fixed
+    seed-42 MinHash params rather than being asserted by hand."""
+    from intraarchivededuplicator_spark.functions.hashing import (
+        minhash_sig,
+        shingle_hash32,
+    )
+
+    # pairs (2j, 2j+1) share a j-dependent fraction of an 80-token stream:
+    # doc 2j = tokens [0, 80); doc 2j+1 = tokens [cut_j, 80 + cut_j) of the
+    # SAME pair-local stream -> Jaccard spans ~(80-cut)/(80+cut)
+    rows = []
+    for pair, cut in enumerate([4, 10, 18, 28, 40, 52]):
+        toks = [f"p{pair}w{i}" for i in range(80 + cut)]
+        rows.append((2 * pair, " ".join(toks[:80]), "en"))
+        rows.append((2 * pair + 1, " ".join(toks[cut:]), "en"))
+    sf_dir = _write_span_docs(spark, tmp_path, rows)
+
+    shs = {
+        d: {shingle_hash32(s) for s in shingles(tokenize(t), q.K_SHINGLE)}
+        for d, t, _ in rows
+    }
+    sigs = {d: minhash_sig(t, q.K_SHINGLE, q.ORACLE_MINHASH) for d, t, _ in rows}
+    bands = {
+        d: {(b, tuple(sig[4 * b : 4 * b + 4])) for b in range(4)}
+        for d, sig in sigs.items()
+    }
+    want: dict[int, list[int]] = {}
+    ids = sorted(shs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            i = len(shs[x] & shs[y])
+            u = len(shs[x] | shs[y])
+            if i == 0 or 2 * i < u:
+                continue
+            caught = bool(bands[x] & bands[y])
+            b = (10 * i) // u
+            want.setdefault(b, [0, 0])
+            want[b][0] += 1
+            want[b][1] += int(caught)
+
+    got = {
+        r["bucket_tenths"]: (r["n_pairs"], r["n_caught"], r["recall"])
+        for r in q.q_minhash_recall_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for b, (n, c) in want.items():
+        assert got[b][:2] == (n, c), b
+        assert got[b][2] == pytest.approx(round(c / n, 6))
+    # the plant must span buckets; at least one true pair must be missed
+    # by the 4x4 geometry or the audit proves nothing at this corpus
+    assert len(want) >= 3
+    assert any(c < n for n, c in want.values())
+    assert any(c > 0 for n, c in want.values())

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_ivf": q.q_embedding_near_pairs_ivf,
         "embedding_dup_clusters": q.q_embedding_dup_clusters,
         "ann_recall_audit": q.q_ann_recall_audit,
+        "lsh_recall_audit": q.q_lsh_recall_audit,
         # masks + prefix scan (P3/P5)
         "source_prefix_scan": q.q_source_prefix_scan,
         "masked_match_candidates": q.q_masked_match_candidates,
@@ -318,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_recall_audit": o.sql_ann_recall_audit(
             EMB_SCALE, k=3, n_cells=16, nprobe=4
+        ),
+        "lsh_recall_audit": o.sql_lsh_recall_audit(
+            EMB_DIM, EMB_SCALE, k=3, hamming_radius=28, n_bands=8
         ),
         "source_prefix_scan": o.sql_source_prefix_scan("src1", K_SHINGLE),
         "masked_match_candidates": o.sql_masked_match_candidates(

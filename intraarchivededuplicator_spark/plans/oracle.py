@@ -1949,16 +1949,12 @@ FROM cdots d JOIN norms x ON d.id_lo = x.vec_id JOIN norms y ON d.id_hi = y.vec_
 WHERE round(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) >= {threshold}"""
 
 
-def sql_ann_recall_audit(
-    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
-) -> str:
-    """Oracle for plans/queries.q_ann_recall_audit: per-vector recall@k of
-    the IVF top-k against the exact brute-force top-k. Reuses _cte_ivf for
-    the candidacy spec (which brings ev/norms), re-derives the exact
-    ranking under x-prefixed CTE names, and intersects the two k-sets."""
-    return f"""
-WITH {_cte_ivf(scale, n_cells, nprobe)},
-xdots AS (
+def _recall_audit_mid(k: int) -> str:
+    """Shared CTE text for the ANN recall audits: assumes `ev`, `norms` and
+    a DIRECTED candidate CTE `dir_cand(qid, nid)` exist; defines the exact
+    x-ranking and the candidate v-ranking, ending in the two k-set CTEs
+    `ex` / `an`."""
+    return f"""xdots AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            sum(a.v * b.v)::BIGINT AS dot
     FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
@@ -1979,7 +1975,7 @@ xrank AS (
 ex AS (SELECT vec_id, neighbor_id FROM xrank WHERE rank <= {k}),
 vdots AS (
     SELECT q.qid, q.nid, sum(a.v * b.v)::BIGINT AS dot
-    FROM cand q
+    FROM dir_cand q
     JOIN ev a ON a.vec_id = q.qid
     JOIN ev b ON b.vec_id = q.nid AND b.i = a.i
     GROUP BY q.qid, q.nid
@@ -1996,8 +1992,10 @@ vrank AS (
                               ORDER BY cosine DESC, nid ASC) AS rank
     FROM vscored
 ),
-an AS (SELECT qid AS vec_id, nid AS neighbor_id FROM vrank WHERE rank <= {k}),
-ecnt AS (SELECT vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY vec_id),
+an AS (SELECT qid AS vec_id, nid AS neighbor_id FROM vrank WHERE rank <= {k})"""
+
+
+_RECALL_AUDIT_TAIL = """ecnt AS (SELECT vec_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY vec_id),
 acnt AS (SELECT vec_id, count(*)::BIGINT AS n_ann FROM an GROUP BY vec_id),
 mcnt AS (
     SELECT e.vec_id, count(*)::BIGINT AS n_matched
@@ -2012,6 +2010,56 @@ SELECT e.vec_id, e.n_exact,
 FROM ecnt e LEFT JOIN acnt a USING (vec_id)
             LEFT JOIN mcnt m ON m.vec_id = e.vec_id
 ORDER BY e.vec_id"""
+
+
+def sql_ann_recall_audit(
+    scale: int, k: int = 3, n_cells: int = 16, nprobe: int = 4
+) -> str:
+    """Oracle for plans/queries.q_ann_recall_audit: per-vector recall@k of
+    the IVF top-k against the exact brute-force top-k. Reuses _cte_ivf for
+    the candidacy spec (which brings ev/norms); the exact ranking, the
+    candidate ranking, and the intersection tail are the shared
+    _recall_audit_mid/_RECALL_AUDIT_TAIL text (one definition for both ANN
+    families)."""
+    return f"""
+WITH {_cte_ivf(scale, n_cells, nprobe)},
+dir_cand AS (SELECT qid, nid FROM cand),
+{_recall_audit_mid(k)},
+{_RECALL_AUDIT_TAIL}"""
+
+
+def sql_lsh_recall_audit(
+    dim: int,
+    scale: int,
+    k: int = 3,
+    hamming_radius: int = 28,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for plans/queries.q_lsh_recall_audit: per-vector recall@k of
+    the hyperplane-LSH top-k (banded candidates + Hamming radius, the
+    sql_embedding_knn_ann candidacy spec) against the exact brute-force
+    top-k; shared mid/tail with sql_ann_recall_audit."""
+    return f"""
+WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)},
+cand AS (
+    SELECT a.vec_id AS id_lo, b.vec_id AS id_hi
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+hpairs AS (
+    SELECT id_lo, id_hi FROM cand
+    JOIN sigs sa ON sa.vec_id = cand.id_lo
+    JOIN sigs sb ON sb.vec_id = cand.id_hi
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {hamming_radius}
+),
+dir_cand AS (
+    SELECT id_lo AS qid, id_hi AS nid FROM hpairs
+    UNION ALL SELECT id_hi, id_lo FROM hpairs
+),
+{_recall_audit_mid(k)},
+{_RECALL_AUDIT_TAIL}"""
 
 
 def sql_embedding_dup_clusters(

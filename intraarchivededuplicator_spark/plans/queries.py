@@ -1853,8 +1853,29 @@ def q_ann_recall_audit(spark, sf_dir):
     big (the sample bound, not this query, is the scale knob). n_ann < k
     happens when probed cells hold fewer than k candidates; n_matched
     counts the set intersection."""
-    exact = q_embedding_knn(spark, sf_dir).select("vec_id", "neighbor_id")
-    ann = q_embedding_knn_ivf(spark, sf_dir).select("vec_id", "neighbor_id")
+    return _recall_audit(
+        q_embedding_knn(spark, sf_dir).select("vec_id", "neighbor_id"),
+        q_embedding_knn_ivf(spark, sf_dir).select("vec_id", "neighbor_id"),
+    )
+
+
+def q_lsh_recall_audit(spark, sf_dir):
+    """Twin of q_ann_recall_audit for the OTHER ANN scale path: recall@3 of
+    the hyperplane-LSH top-k (q_embedding_knn_ann) against the exact
+    brute-force top-k. Same audit arithmetic (shared _recall_audit), same
+    hash-exact rationale — both rankings are deterministic and banded
+    candidacy is part of the differential spec. Gating both audits keeps
+    the two families comparable under one measurement."""
+    return _recall_audit(
+        q_embedding_knn(spark, sf_dir).select("vec_id", "neighbor_id"),
+        q_embedding_knn_ann(spark, sf_dir).select("vec_id", "neighbor_id"),
+    )
+
+
+def _recall_audit(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared ANN-audit arithmetic: per-vector intersection of two
+    deterministic k-sets with counts and rounded recall (one definition so
+    the IVF and LSH audit surfaces cannot drift)."""
     ecnt = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
     acnt = ann.groupBy("vec_id").agg(F.count("*").alias("n_ann"))
     mcnt = (

@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q.q_doc_repetition_stats,
         "dup_gram_stats": q.q_dup_gram_stats,
         "dup_span_stats": q.q_dup_span_stats,
+        "dup_span_removal": q.q_dup_span_removal,
         "heavy_hitter_grams": q.q_heavy_hitter_grams,
         "charlm_quality": q.q_charlm_quality,
         "cdc_chunk_stats": q.q_cdc_chunk_stats,
@@ -278,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": o.sql_doc_repetition_stats(),
         "dup_gram_stats": o.sql_dup_gram_stats(K_SHINGLE),
         "dup_span_stats": o.sql_dup_span_stats(K_SHINGLE),
+        "dup_span_removal": o.sql_dup_span_removal(
+            K_SHINGLE, q.DUP_SPAN_RMIN
+        ),
         "heavy_hitter_grams": o.sql_heavy_hitter_grams(
             K_SHINGLE, q.HH_MIN_DF
         ),

@@ -816,6 +816,74 @@ FROM tot t LEFT JOIN sp USING (doc_id)
 ORDER BY t.doc_id"""
 
 
+def sql_dup_span_removal(
+    k_shingle: int, rmin: int, table: str = "documents"
+) -> str:
+    """Oracle for plans/queries.q_dup_span_removal: per-gram (df, owner),
+    non-owned duplicated gram runs of >= rmin positions, covered-token
+    expansion, anti-join, ordered string_agg reassembly, md5 of the
+    reconstructed token stream. Independent formulation: gram STRINGS (vs
+    the engine's md5 keys), generate_series token expansion (vs
+    F.sequence), string_agg ORDER BY (vs sorted collect_list)."""
+    return f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+    FROM {table}
+),
+shing AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tl[i:i+{k_shingle - 1}], ' ') AS s
+    FROM toklist, unnest(generate_series(1, len(tl) - {k_shingle - 1})) AS r(i)
+),
+gstat AS (
+    SELECT s, count(DISTINCT doc_id)::BIGINT AS df_docs,
+           min(doc_id) AS owner
+    FROM shing GROUP BY s
+),
+remv AS (
+    SELECT doc_id, pos FROM shing JOIN gstat USING (s)
+    WHERE df_docs >= 2 AND owner <> doc_id
+),
+runs AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM remv
+),
+spans AS (
+    SELECT doc_id, min(pos) AS p0, count(*)::BIGINT AS rl
+    FROM runs GROUP BY doc_id, grp HAVING count(*) >= {rmin}
+),
+remtok AS (
+    SELECT DISTINCT doc_id, p0 + j AS tpos
+    FROM spans, unnest(generate_series(0, rl + {k_shingle - 2})) AS t(j)
+),
+toks AS (
+    SELECT doc_id, i AS tpos, tl[i] AS tok
+    FROM toklist, unnest(generate_series(1, len(tl))) AS r(i)
+),
+kept AS (
+    SELECT t.doc_id, t.tpos, t.tok
+    FROM toks t LEFT JOIN remtok r
+      ON r.doc_id = t.doc_id AND r.tpos = t.tpos
+    WHERE r.tpos IS NULL
+),
+ka AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY tpos)) AS kept_hash
+    FROM kept GROUP BY doc_id
+),
+tot AS (
+    SELECT doc_id, len(tl)::BIGINT AS n_tokens
+    FROM toklist WHERE len(tl) >= 1
+)
+SELECT t.doc_id, t.n_tokens,
+       (t.n_tokens - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(ka.kept_hash, md5('')) AS kept_hash
+FROM tot t LEFT JOIN ka USING (doc_id)
+ORDER BY t.doc_id"""
+
+
 def sql_heavy_hitter_grams(
     k_shingle: int, min_df: int, table: str = "documents"
 ) -> str:

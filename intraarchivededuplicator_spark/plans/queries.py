@@ -9,6 +9,8 @@ engine's public operator surface exercised on the shared tables — the
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
@@ -1482,6 +1484,97 @@ def q_dup_span_stats(spark, sf_dir):
             )
             + F.lit(0.0)
         ).alias("dup_pos_ratio"),
+    )
+
+
+DUP_SPAN_MIN_TOKENS = 10  # spans at least this long (tokens) are removed
+# minimum qualifying run length in gram positions: run + K_SHINGLE - 1 tokens
+DUP_SPAN_RMIN = DUP_SPAN_MIN_TOKENS - K_SHINGLE + 1
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Exact duplicated-span REMOVAL (Lee et al. 2022 exact-substring dedup,
+    the cut itself): every maximal run of consecutive gram positions whose
+    gram (a) occurs in >= 2 corpus docs and (b) is NOT owned by this doc
+    (owner = min doc_id containing the gram — the earliest doc keeps its
+    copy) and whose token extent reaches DUP_SPAN_MIN_TOKENS is cut from
+    the doc; the output carries the md5 of the reconstructed
+    space-joined token stream, so the gate pins the REMOVAL ITSELF
+    byte-exactly, not just its counts.
+
+    Plan shape at 10^12 docs: positional shingle kernel (map-only) -> one
+    partial-aggregated exchange for per-gram (df, owner) -> df>=2 filter
+    before the occurrences re-join -> gaps-and-islands under ONE doc_id
+    exchange -> qualifying spans explode to covered token positions
+    (bounded by span length; spans overlap only within k-1 tokens, distinct
+    dedups) -> anti-join against the positional token stream on
+    (doc_id, tpos) -> ordered per-doc reassembly under the same doc_id
+    partitioning. Docs with zero tokens emit no row; a doc whose every
+    token is cut keeps md5('') — the contract a downstream keep-list
+    consumes."""
+    from ..functions.shingle_kernel import positional_shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = positional_shingles(d, K_SHINGLE).select(
+        "doc_id", "pos", F.unhex(F.md5("s")).alias("g")
+    )
+    gstat = occ.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df_docs"),
+        F.min("doc_id").alias("owner"),
+    )
+    remv = (
+        occ.join(gstat.filter(F.col("df_docs") >= 2), "g")
+        .filter(F.col("owner") != F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        remv.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("p0"), F.count("*").alias("rl"))
+        .filter(F.col("rl") >= DUP_SPAN_RMIN)
+    )
+    remtok = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("p0"), F.col("p0") + F.col("rl") + F.lit(K_SHINGLE - 2)
+            )
+        ).alias("tpos"),
+    ).distinct()
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0based", "tok")
+    ).select("doc_id", (F.col("p0based") + 1).alias("tpos"), "tok")
+    kept = toks.join(remtok, ["doc_id", "tpos"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("tpos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("kept_hash"),
+    )
+    tot = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(
+            "kept_hash", F.lit(hashlib.md5(b"").hexdigest())
+        ).alias("kept_hash"),
     )
 
 

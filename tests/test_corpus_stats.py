@@ -623,3 +623,41 @@ def test_minhash_recall_audit_planted(spark, tmp_path):
     assert len(want) >= 3
     assert any(c < n for n, c in want.values())
     assert any(c > 0 for n, c in want.values())
+
+
+def test_dup_span_removal_planted(spark, tmp_path):
+    """Removal semantics pinned end-to-end (K_SHINGLE=5, min span 10
+    tokens): the earliest doc owning a shared run keeps its copy; the later
+    doc loses exactly the span's token extent; runs below the token floor
+    survive; a doc wholly covered by an owned-elsewhere span reconstructs
+    to the empty stream (md5(''))."""
+    import hashlib as _hl
+
+    assert q.K_SHINGLE == 5 and q.DUP_SPAN_RMIN == 6
+    s12 = " ".join(f"s{i}" for i in range(1, 13))
+    t7 = " ".join(f"t{i}" for i in range(1, 8))
+    rows = [
+        (0, f"c1 c2 c3 c4 {s12} d1 d2 d3 d4", "en"),
+        (1, f"e1 e2 {s12} f1 f2", "en"),
+        (2, f"g1 g2 g3 g4 g5 {t7} h1 h2 h3 h4", "en"),
+        (3, f"u1 {t7} u2 u3 u4 u5 u6 u7", "en"),
+        (4, s12, "en"),
+        (5, "x1", "en"),
+    ]
+    sf_dir = _write_span_docs(spark, tmp_path, rows)
+
+    def h(s: str) -> str:
+        return _hl.md5(s.encode()).hexdigest()
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_hash"])
+        for r in q.q_dup_span_removal(spark, sf_dir).collect()
+    }
+    assert got == {
+        0: (20, 0, h(rows[0][1])),          # owner keeps everything
+        1: (16, 12, h("e1 e2 f1 f2")),      # exactly the span cut
+        2: (16, 0, h(rows[2][1])),          # owner of the short run
+        3: (14, 0, h(rows[3][1])),          # 7-token run < 10: survives
+        4: (12, 12, h("")),                 # wholly-covered doc empties
+        5: (1, 0, h("x1")),                 # sub-shingle doc untouched
+    }

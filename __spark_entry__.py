@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q.q_pii_scrub,
         "bloom_dedup_incremental": q.q_bloom_dedup_incremental,
         "sequence_pack_offsets": q.q_sequence_pack_offsets,
+        "pack_efficiency": q.q_pack_efficiency,
         "dedup_key_normalize": q.q_dedup_key_normalize,
         # similarity search over embeddings
         "embedding_knn": q.q_embedding_knn,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
             q.BLOOM_M_GATE, q.BLOOM_K_GATE
         ),
         "sequence_pack_offsets": o.sql_sequence_pack_offsets(q.PACK_CAP_GATE),
+        "pack_efficiency": o.sql_pack_efficiency(q.PACK_CAP_GATE),
         "dedup_key_normalize": o.sql_dedup_key_normalize(),
         "embedding_knn": o.sql_embedding_knn(EMB_SCALE, 3),
         "embedding_knn_ann": o.sql_embedding_knn_ann(

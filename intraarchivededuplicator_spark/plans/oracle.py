@@ -1162,6 +1162,27 @@ SELECT doc_id, n_tokens, start_offset,
 FROM s ORDER BY doc_id"""
 
 
+def sql_pack_efficiency(cap: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_pack_efficiency: per-lang padded-vs-concat
+    sequence counts and padding fraction (split-on-single-space token
+    counts, the pack family convention)."""
+    return f"""
+WITH t AS (
+    SELECT lang, len(string_split(text, ' '))::BIGINT AS n FROM {table}
+),
+a AS (
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+           sum((n + {cap - 1}) // {cap})::BIGINT AS n_seqs_padded
+    FROM t GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_seqs_padded,
+       ((n_tokens + {cap - 1}) // {cap})::BIGINT AS n_seqs_concat,
+       (n_seqs_padded * {cap} - n_tokens)::BIGINT AS pad_tokens,
+       round((n_seqs_padded * {cap} - n_tokens)::DOUBLE
+             / (n_seqs_padded * {cap}), 6) + 0.0 AS pad_frac
+FROM a ORDER BY lang"""
+
+
 def sql_minhash_long(params: MinHashParams, k_shingle: int, table: str = "documents") -> str:
     """(doc_id, i, v) long-format MinHash signature; docs w/o shingles omitted."""
     vals = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(params.a, params.b)))

@@ -1854,6 +1854,52 @@ def q_sequence_pack_offsets(spark, sf_dir):
     return packed_offsets(d)
 
 
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report (the writer-side twin of
+    q_sequence_pack_offsets): per lang, how many PACK_CAP_GATE-token
+    training sequences the corpus needs under (a) pad-each-doc-to-capacity
+    (boundary-respecting, wasteful) vs (b) concat-and-chunk (what the
+    packing operator emits, zero padding except the tail), with the padded
+    variant's waste fraction. Token counts use the pack family's
+    split-on-single-space convention so the two gated surfaces agree.
+
+    Plan shape at 10^12 docs: map-only per-doc arithmetic -> ONE
+    partial-aggregated exchange keyed by lang (bounded output)."""
+    c = PACK_CAP_GATE
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.expr(f"(n + {c - 1}) div {c}")).alias("n_seqs_padded"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_seqs_padded",
+            F.expr(f"(n_tokens + {c - 1}) div {c}").alias("n_seqs_concat"),
+            (F.col("n_seqs_padded") * c - F.col("n_tokens")).alias(
+                "pad_tokens"
+            ),
+            (
+                F.round(
+                    (F.col("n_seqs_padded") * c - F.col("n_tokens")).cast(
+                        "double"
+                    )
+                    / (F.col("n_seqs_padded") * c),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pad_frac"),
+        )
+    )
+
+
 # --- embeddings (similarity search) -------------------------------------------
 
 def _scaled(col):

@@ -661,3 +661,37 @@ def test_dup_span_removal_planted(spark, tmp_path):
         4: (12, 12, h("")),                 # wholly-covered doc empties
         5: (1, 0, h("x1")),                 # sub-shingle doc untouched
     }
+
+
+def test_pack_efficiency_first_principles(spark):
+    """Per-lang padded/concat sequence counts recomputed in pure Python
+    from the sf0.001 parquet with the pack family's split-on-single-space
+    token convention."""
+    c = q.PACK_CAP_GATE
+    pdf = _docs()[["lang", "text"]]
+    agg: dict[str, list[int]] = {}
+    for r in pdf.itertuples():
+        n = len(r.text.split(" "))
+        a = agg.setdefault(r.lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += -(-n // c)
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_seqs_padded"],
+            r["n_seqs_concat"],
+            r["pad_tokens"],
+            r["pad_frac"],
+        )
+        for r in q.q_pack_efficiency(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, nt, sp) in agg.items():
+        sc = -(-nt // c)
+        pad = sp * c - nt
+        assert got[lang][:5] == (nd, nt, sp, sc, pad), lang
+        assert got[lang][5] == pytest.approx(round(pad / (sp * c), 6))
+    # padding must be real and concat must actually save sequences
+    assert any(v[2] > -(-v[1] // c) for v in agg.values())

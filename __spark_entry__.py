@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # junk gate (P6) + quality scoring
         "junk_flags": q.q_junk_flags,
         "text_quality": q.q_text_quality,
+        "source_quality_rollup": q.q_source_quality_rollup,
         "domain_quota_topk": q.q_domain_quota_topk,
         # windows / relational coverage. NOTE: the r4 driver gated 50 of
         # the then-52 entries, skipping
@@ -359,6 +360,14 @@ def oracle_sql() -> dict[str, str]:
             q.QUALITY_MIN_TOKENS,
             q.QUALITY_MAX_STOP_RATIO,
             q.QUALITY_MIN_DISTINCT_RATIO,
+        ),
+        "source_quality_rollup": o.sql_source_quality_rollup(
+            q.STOPWORDS,
+            q.QUALITY_MIN_TOKENS,
+            q.QUALITY_MAX_STOP_RATIO,
+            q.QUALITY_MIN_DISTINCT_RATIO,
+            q.SRC_MIN_PASS_FRAC,
+            q.SRC_MAX_DUP_FRAC,
         ),
         "domain_quota_topk": o.sql_domain_quota_topk(
             q.STOPWORDS,

@@ -2582,6 +2582,49 @@ SELECT doc_id, n_chars, n_tokens,
 FROM m"""
 
 
+def sql_source_quality_rollup(
+    stopwords: list[str],
+    min_tokens: int,
+    max_stop_ratio: float,
+    min_distinct_ratio: float,
+    min_pass_frac: float,
+    max_dup_frac: float,
+) -> str:
+    """Oracle for plans/queries.q_source_quality_rollup: per-source pass /
+    exact-dup fractions over the shared _quality_m_cte arithmetic and the
+    md5 text hash, folded to the keep verdict on rounded-6 fractions."""
+    return rf"""
+WITH {_quality_m_cte(stopwords)},
+hd AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+hdf AS (SELECT h, count(*)::BIGINT AS n_same FROM hd GROUP BY h),
+q AS (
+    SELECT doc_id, source,
+           (n_tokens >= {min_tokens}
+            AND round(n_stop / greatest(n_tokens, 1), 6) <= {max_stop_ratio}
+            AND round(n_distinct / greatest(n_tokens, 1), 6)
+                >= {min_distinct_ratio}) AS p
+    FROM m
+),
+j AS (
+    SELECT q.source,
+           CASE WHEN q.p THEN 1 ELSE 0 END AS p,
+           CASE WHEN hdf.n_same >= 2 THEN 1 ELSE 0 END AS isdup
+    FROM q JOIN hd ON hd.doc_id = q.doc_id JOIN hdf ON hdf.h = hd.h
+),
+a AS (
+    SELECT source, count(*)::BIGINT AS n_docs, sum(p)::BIGINT AS n_pass,
+           sum(isdup)::BIGINT AS n_dup
+    FROM j GROUP BY source
+)
+SELECT source, n_docs, n_pass, n_dup,
+       round(n_pass::DOUBLE / n_docs, 6) + 0.0 AS pass_frac,
+       round(n_dup::DOUBLE / n_docs, 6) + 0.0 AS dup_frac,
+       (round(n_pass::DOUBLE / n_docs, 6) + 0.0 >= {min_pass_frac}
+        AND round(n_dup::DOUBLE / n_docs, 6) + 0.0 <= {max_dup_frac})
+           AS keep_flag
+FROM a ORDER BY source"""
+
+
 def sql_domain_quota_topk(
     stopwords: list[str],
     min_tokens: int,

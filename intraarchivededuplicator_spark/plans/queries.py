@@ -2859,6 +2859,55 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+SRC_MIN_PASS_FRAC = 0.5  # keep a source when >= half its docs pass quality
+SRC_MAX_DUP_FRAC = 0.5   # ... and at most half are exact-dup members
+
+
+def q_source_quality_rollup(spark, sf_dir):
+    """Domain-level curation rollup (the FineWeb/CCNet-style decision of
+    which SOURCES survive, not which docs): per source, the fraction of
+    docs passing the shared quality gate (_quality_parts — one definition
+    with text_quality/quality_funnel so the surfaces cannot drift) and the
+    fraction that are exact-duplicate members corpus-wide, folded into a
+    keep verdict on rounded-6 fractions (identical doubles both engines).
+
+    Plan shape at 10^12 docs: quality is map-only column algebra; dup
+    membership costs ONE partial-aggregated exchange on the md5 text hash
+    + a shuffle join back; the rollup is one source-keyed exchange with a
+    bounded (n_sources) output."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    *_, passes = _quality_parts()
+    dh = with_text_hash(d)
+    hdf = dh.groupBy("text_hash").agg(F.count("*").alias("n_same"))
+    j = dh.join(hdf, "text_hash").select(
+        "source",
+        passes.cast("long").alias("p"),
+        (F.col("n_same") >= 2).cast("long").alias("isdup"),
+    )
+    pass_frac = F.round(F.col("n_pass") / F.col("n_docs"), 6) + F.lit(0.0)
+    dup_frac = F.round(F.col("n_dup") / F.col("n_docs"), 6) + F.lit(0.0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("p").alias("n_pass"),
+            F.sum("isdup").alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            "n_dup",
+            pass_frac.alias("pass_frac"),
+            dup_frac.alias("dup_frac"),
+            (
+                (pass_frac >= F.lit(SRC_MIN_PASS_FRAC))
+                & (dup_frac <= F.lit(SRC_MAX_DUP_FRAC))
+            ).alias("keep_flag"),
+        )
+    )
+
+
 DOMAIN_QUOTA_K = 10
 
 

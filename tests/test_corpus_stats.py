@@ -695,3 +695,58 @@ def test_pack_efficiency_first_principles(spark):
         assert got[lang][5] == pytest.approx(round(pad / (sp * c), 6))
     # padding must be real and concat must actually save sequences
     assert any(v[2] > -(-v[1] // c) for v in agg.values())
+
+
+def test_source_quality_rollup_first_principles(spark):
+    """Per-source pass/dup fractions recomputed in pure Python from the
+    sf0.001 parquet: quality gate re-derived with the documented tokenize
+    twin + regex, dup membership from md5(text) multiplicity."""
+    import hashlib as _hl
+    import re as _re
+
+    pdf = _docs()[["doc_id", "source", "text"]]
+    hcount: dict[str, int] = {}
+    for r in pdf.itertuples():
+        h = _hl.md5(r.text.encode()).hexdigest()
+        hcount[h] = hcount.get(h, 0) + 1
+    agg: dict[str, list[int]] = {}
+    for r in pdf.itertuples():
+        toks = tokenize(r.text)
+        n = len(toks)
+        n_stop = sum(1 for t in toks if t in q.STOPWORDS)
+        n_dist = len(set(toks))
+        passes = (
+            n >= q.QUALITY_MIN_TOKENS
+            and round(n_stop / max(n, 1), 6) <= q.QUALITY_MAX_STOP_RATIO
+            and round(n_dist / max(n, 1), 6) >= q.QUALITY_MIN_DISTINCT_RATIO
+        )
+        isdup = hcount[_hl.md5(r.text.encode()).hexdigest()] >= 2
+        a = agg.setdefault(r.source, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(passes)
+        a[2] += int(isdup)
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_pass"],
+            r["n_dup"],
+            r["pass_frac"],
+            r["dup_frac"],
+            r["keep_flag"],
+        )
+        for r in q.q_source_quality_rollup(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for s, (nd, npass, ndup) in agg.items():
+        pf, duf = round(npass / nd, 6), round(ndup / nd, 6)
+        assert got[s][:3] == (nd, npass, ndup), s
+        assert got[s][3] == pytest.approx(pf)
+        assert got[s][4] == pytest.approx(duf)
+        assert got[s][5] == (
+            pf >= q.SRC_MIN_PASS_FRAC and duf <= q.SRC_MAX_DUP_FRAC
+        ), s
+    # sf0.001 is clean synthetic text (all docs pass, no byte-identical
+    # dups) — the split verdicts are exercised by the sf0.01 driver gate;
+    # this pin's job is the composition arithmetic
+    assert any(v[1] > 0 for v in agg.values())

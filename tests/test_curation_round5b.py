@@ -358,3 +358,24 @@ def test_new_surface_plan_shapes(spark):
         p = _plan(fn(spark, SF))
         agg_pos = p.find("SinglePartition")
         assert agg_pos != -1  # bounded-by-construction total window
+
+
+def test_closing_surface_plan_shapes(spark):
+    """Scale-shape pins for the closing-session queries: every window is
+    doc-/vector-partitioned (no SinglePartition exchange anywhere — these
+    run over the unbounded corpus), and the bounded-output rollups stay
+    pure aggregation paths."""
+    for fn in (
+        q.q_dup_span_stats,
+        q.q_dup_span_removal,
+        q.q_ann_recall_audit,
+        q.q_lsh_recall_audit,
+        q.q_minhash_recall_audit,
+    ):
+        p = _plan(fn(spark, SF))
+        assert "SinglePartition" not in p, fn.__name__
+    # bounded rollups: aggregation only — no rank window, no SinglePartition
+    for fn in (q.q_pack_efficiency, q.q_source_quality_rollup):
+        p = _plan(fn(spark, SF))
+        assert "SinglePartition" not in p, fn.__name__
+        assert "Window" not in p, fn.__name__

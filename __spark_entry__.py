@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_integrity": q.q_source_integrity,
         "deterministic_sample": q.q_deterministic_sample,
         "stratified_sample": q.q_stratified_sample,
+        "shard_balance": q.q_shard_balance,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": o.sql_stratified_sample(
             *q.STRATA_BANDS, q.STRATA_K
         ),
+        "shard_balance": o.sql_shard_balance(q.N_SHARDS),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

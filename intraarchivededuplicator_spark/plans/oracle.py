@@ -1417,6 +1417,29 @@ SELECT doc_id, n_chars FROM documents
 WHERE substring(md5(doc_id::VARCHAR), 1, 1) = '0'"""
 
 
+def sql_shard_balance(n_shards: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_shard_balance: md5(doc_id) hex-prefix
+    shard assignment (the J11 hash discipline), per-shard totals, shares
+    over the bounded aggregate."""
+    return f"""
+WITH d AS (
+    SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {n_shards}
+               AS shard_id,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           length(text)::BIGINT AS n_bytes
+    FROM {table}
+),
+a AS (
+    SELECT shard_id, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           sum(n_bytes)::BIGINT AS n_bytes
+    FROM d GROUP BY shard_id
+)
+SELECT shard_id, n_docs, n_tokens, n_bytes,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) + 0.0 AS doc_share,
+       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) + 0.0 AS token_share
+FROM a ORDER BY shard_id"""
+
+
 def sql_stratified_sample(lo: int, hi: int, k: int) -> str:
     """Oracle for plans/queries.q_stratified_sample: same whitespace
     tokenization (the _quality_m_cte discipline), same band edges, same

@@ -2165,6 +2165,56 @@ def q_deterministic_sample(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+N_SHARDS = 8  # writer fan-out for the gated shard-balance report
+
+
+def q_shard_balance(spark, sf_dir):
+    """Writer-side shard plan (the training-data export step the packing
+    family feeds): every doc deterministically assigned to one of N_SHARDS
+    output shards by md5(doc_id) — the J11 hash discipline, so assignment
+    is reproducible across engines, runs, and cluster sizes — with
+    per-shard doc/token/byte totals and each shard's share of the corpus.
+    The balance this report shows is what guarantees no straggler writer at
+    10^12 docs (md5 equidistributes keys regardless of doc_id clustering).
+
+    Plan shape: map-only assignment arithmetic -> ONE exchange keyed by
+    shard_id (bounded N_SHARDS output); the share window runs over the
+    bounded aggregate, never the corpus."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+    agg = (
+        d.select(shard.alias("shard_id"), "n_tok", "n_bytes")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        (
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6) + F.lit(0.0)
+        ).alias("doc_share"),
+        (
+            F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6)
+            + F.lit(0.0)
+        ).alias("token_share"),
+    )
+
+
 STRATA_BANDS = (48, 72)   # token-count band edges: short / medium / long
 STRATA_K = 10             # docs kept per (lang, band) stratum
 

@@ -750,3 +750,35 @@ def test_source_quality_rollup_first_principles(spark):
     # dups) — the split verdicts are exercised by the sf0.01 driver gate;
     # this pin's job is the composition arithmetic
     assert any(v[1] > 0 for v in agg.values())
+
+
+def test_shard_balance_first_principles(spark):
+    """Shard totals recomputed in pure Python (md5 hex-prefix mod N), and
+    the balance property the report exists to show: every shard within
+    3x of uniform doc share on the 500-doc corpus."""
+    import hashlib as _hl
+
+    pdf = _docs()[["doc_id", "text"]]
+    agg: dict[int, list[int]] = {}
+    for r in pdf.itertuples():
+        sid = (
+            int(_hl.md5(str(int(r.doc_id)).encode()).hexdigest()[:8], 16)
+            % q.N_SHARDS
+        )
+        a = agg.setdefault(sid, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(r.text.split(" "))
+        a[2] += len(r.text)
+
+    rows = q.q_shard_balance(spark, SF).collect()
+    got = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["n_bytes"], r["doc_share"])
+        for r in rows
+    }
+    assert set(got) == set(agg)
+    total = sum(v[0] for v in agg.values())
+    for sid, (nd, nt, nb) in agg.items():
+        assert got[sid][:3] == (nd, nt, nb), sid
+        assert got[sid][3] == pytest.approx(round(nd / total, 6))
+        assert nd <= 3 * total / q.N_SHARDS
+    assert len(agg) == q.N_SHARDS

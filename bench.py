@@ -63,6 +63,14 @@ HEADLINE = [
     "domain_link_graph",
     "domain_pagerank",
     "doc_salient_terms",
+    # closing-session additions (matched-27 = the rows above; matched-21 =
+    # the first block) — exact-substring dedup family + writer-side reports
+    "dup_span_stats",
+    "dup_span_removal",
+    "minhash_recall_audit",
+    "pack_efficiency",
+    "source_quality_rollup",
+    "shard_balance",
 ]
 
 

@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rate_hourly": q.q_crawl_rate_hourly,
         "orders_by_priority_month": q.q_orders_by_priority_month,
         "nation_revenue": q.q_nation_revenue,
+        "lineitem_pricing_summary": q.q_lineitem_pricing_summary,
     }
 
 
@@ -384,4 +385,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_rate_hourly": o.sql_crawl_rate_hourly(),
         "orders_by_priority_month": o.sql_orders_by_priority_month(),
         "nation_revenue": o.sql_nation_revenue(),
+        "lineitem_pricing_summary": o.sql_lineitem_pricing_summary(),
     }

@@ -2403,6 +2403,42 @@ SELECT user_id, event_id,
 FROM w ORDER BY user_id, event_id"""
 
 
+def sql_lineitem_pricing_summary() -> str:
+    """Oracle for plans/queries.q_lineitem_pricing_summary: the same
+    integer-scaled Q1 arithmetic (cents / basis points summed as BIGINT,
+    one rounded division per output)."""
+    return """
+WITH s AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS disc_price_c,
+           CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                AS BIGINT) AS charge_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+),
+a AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(qty_c)::BIGINT AS sq, sum(price_c)::BIGINT AS sp,
+           sum(disc_price_c)::BIGINT AS sdp, sum(charge_c)::BIGINT AS sc,
+           sum(disc_bp)::BIGINT AS sd, count(*)::BIGINT AS count_order
+    FROM s GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       round(sq::DOUBLE / 100.0, 6) + 0.0 AS sum_qty,
+       round(sp::DOUBLE / 100.0, 6) + 0.0 AS sum_base_price,
+       round(sdp::DOUBLE / 100.0, 6) + 0.0 AS sum_disc_price,
+       round(sc::DOUBLE / 100.0, 6) + 0.0 AS sum_charge,
+       round(sq::DOUBLE / (count_order * 100), 6) + 0.0 AS avg_qty,
+       round(sp::DOUBLE / (count_order * 100), 6) + 0.0 AS avg_price,
+       round(sd::DOUBLE / (count_order * 10000), 6) + 0.0 AS avg_disc,
+       count_order
+FROM a ORDER BY l_returnflag, l_linestatus"""
+
+
 def sql_nation_revenue() -> str:
     return """
 SELECT n_name, year(o_orderdate)::INT AS year,

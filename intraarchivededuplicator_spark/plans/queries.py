@@ -2567,6 +2567,54 @@ def q_orders_by_priority_month(spark, sf_dir):
     )
 
 
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """Relational breadth: the TPC-H Q1 pricing-summary shape over the
+    largest fact table — filter pushed to the scan, map-side partial
+    aggregation, one bounded (flag, status) exchange. Every money/quantity
+    term is integer-scaled (cents / basis points) BEFORE summing so the
+    aggregates are order-independent across engines; averages divide two
+    exact integers once and round."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    disc_price_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+
+    def r6(num, den):
+        return (F.round(num.cast("double") / den, 6) + F.lit(0.0))
+
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c).alias("_sq"),
+        F.sum(price_c).alias("_sp"),
+        F.sum(disc_price_c).alias("_sdp"),
+        F.sum(charge_c).alias("_sc"),
+        F.sum(disc_bp).alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        r6(F.col("_sq"), F.lit(100.0)).alias("sum_qty"),
+        r6(F.col("_sp"), F.lit(100.0)).alias("sum_base_price"),
+        r6(F.col("_sdp"), F.lit(100.0)).alias("sum_disc_price"),
+        r6(F.col("_sc"), F.lit(100.0)).alias("sum_charge"),
+        r6(F.col("_sq"), F.col("count_order") * 100).alias("avg_qty"),
+        r6(F.col("_sp"), F.col("count_order") * 100).alias("avg_price"),
+        r6(F.col("_sd"), F.col("count_order") * 10000).alias("avg_disc"),
+        "count_order",
+    )
+
+
 def q_nation_revenue(spark, sf_dir):
     """Relational breadth: 4-table star join (lineitem x orders x customer x
     nation) + per-(nation, year) aggregation. nation is dimension-small and

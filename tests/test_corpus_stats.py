@@ -782,3 +782,63 @@ def test_shard_balance_first_principles(spark):
         assert got[sid][3] == pytest.approx(round(nd / total, 6))
         assert nd <= 3 * total / q.N_SHARDS
     assert len(agg) == q.N_SHARDS
+
+
+def test_lineitem_pricing_summary_first_principles(spark):
+    """Q1-shape aggregates recomputed with pandas integer arithmetic from
+    the sf0.001 parquet (cents / basis points, one rounded division per
+    output)."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+    want = {}
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        sq = int(round_half_up_series(g.l_quantity * 100).sum())
+        sp = int(round_half_up_series(g.l_extendedprice * 100).sum())
+        sdp = int(
+            round_half_up_series(
+                g.l_extendedprice * (1 - g.l_discount) * 100
+            ).sum()
+        )
+        sc = int(
+            round_half_up_series(
+                g.l_extendedprice * (1 - g.l_discount) * (1 + g.l_tax) * 100
+            ).sum()
+        )
+        sd = int(round_half_up_series(g.l_discount * 10000).sum())
+        n = len(g)
+        want[(rf, ls)] = (
+            round(sq / 100.0, 6),
+            round(sp / 100.0, 6),
+            round(sdp / 100.0, 6),
+            round(sc / 100.0, 6),
+            round(sq / (n * 100), 6),
+            round(sp / (n * 100), 6),
+            round(sd / (n * 10000), 6),
+            n,
+        )
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["sum_qty"],
+            r["sum_base_price"],
+            r["sum_disc_price"],
+            r["sum_charge"],
+            r["avg_qty"],
+            r["avg_price"],
+            r["avg_disc"],
+            r["count_order"],
+        )
+        for r in q.q_lineitem_pricing_summary(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k][7] == w[7], k
+        for i in range(7):
+            assert got[k][i] == pytest.approx(w[i]), (k, i)
+
+
+def round_half_up_series(s):
+    """numpy rint is banker's; both engines round HALF_UP on positives."""
+    import numpy as np
+
+    return np.floor(s.to_numpy() + 0.5)

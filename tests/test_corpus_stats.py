@@ -842,3 +842,83 @@ def round_half_up_series(s):
     import numpy as np
 
     return np.floor(s.to_numpy() + 0.5)
+
+
+def test_dup_span_removal_randomized_differential(spark, tmp_path):
+    """Randomized differential pin for the removal semantics: 60 docs from
+    a 12-token alphabet (forcing heavy gram collisions), including empty
+    docs, sub-shingle docs, exact copies, and slices of other docs —
+    compared doc-for-doc against an independent pure-Python
+    implementation of owner/df/run/extent arithmetic."""
+    import hashlib as _hl
+    import random
+
+    rng = random.Random(7)
+    alpha = [f"w{i}" for i in range(12)]
+    texts: dict[int, str] = {}
+    for d in range(60):
+        mode = rng.random()
+        if mode < 0.08:
+            texts[d] = ""
+        elif mode < 0.16:
+            texts[d] = " ".join(rng.choices(alpha, k=rng.randint(1, 4)))
+        elif mode < 0.45 and d > 0:
+            src = texts[rng.randrange(d)].split()
+            if len(src) >= 6:
+                lo = rng.randrange(len(src) - 5)
+                hi = rng.randint(lo + 5, len(src))
+                core = src[lo:hi]
+            else:
+                core = rng.choices(alpha, k=8)
+            pre = rng.choices(alpha, k=rng.randint(0, 3))
+            post = rng.choices(alpha, k=rng.randint(0, 3))
+            texts[d] = " ".join(pre + core + post)
+        else:
+            texts[d] = " ".join(rng.choices(alpha, k=rng.randint(5, 25)))
+
+    k, rmin = q.K_SHINGLE, q.DUP_SPAN_RMIN
+    toks = {d: tokenize(t) for d, t in texts.items()}
+    grams = {d: shingles(tl, k) for d, tl in toks.items()}
+    dfs: dict[str, int] = {}
+    owner: dict[str, int] = {}
+    for d in sorted(grams):
+        for g in set(grams[d]):
+            dfs[g] = dfs.get(g, 0) + 1
+            owner.setdefault(g, d)
+    want = {}
+    for d, gl in grams.items():
+        n = len(toks[d])
+        if n < 1:
+            continue
+        remv = [
+            i
+            for i, g in enumerate(gl, start=1)
+            if dfs[g] >= 2 and owner[g] != d
+        ]
+        covered: set[int] = set()
+        run: list[int] = []
+        for p in remv + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= rmin:
+                    covered.update(range(run[0], run[-1] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [t for i, t in enumerate(toks[d], start=1) if i not in covered]
+        want[d] = (
+            n,
+            n - len(kept),
+            _hl.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    sf_dir = _write_span_docs(
+        spark, tmp_path, [(d, t, "en") for d, t in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_hash"])
+        for r in q.q_dup_span_removal(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the random corpus must exercise actual removal and survivors
+    assert any(v[1] > 0 for v in want.values())
+    assert any(v[1] == 0 for v in want.values())

@@ -111,3 +111,50 @@ def positional_shingles(
     return df.select(
         df[id_col].alias(id_col), df[text_col].alias(text_col)
     ).mapInPandas(_kernel, _POS_SCHEMA)
+
+
+_TOK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tpos", LongType()),
+        StructField("tok", StringType()),
+    ]
+)
+
+
+def positional_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, text_col) frame -> (doc_id, tpos, tok) rows, tpos 1-based.
+
+    The token-stream twin of positional_shingles — SAME hashing.tokenize,
+    so token positions and gram positions are guaranteed aligned (a gram at
+    pos p covers tokens p..p+k-1). Consumers that mix gram positions with a
+    token stream MUST source both from these kernels: a JVM-side split has
+    a different whitespace class (Java \\s is ASCII-only vs Python \\s
+    Unicode), and a one-token skew silently cuts the wrong span. Docs with
+    zero tokens (or null text) contribute no rows. Map-only."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ps: list[int] = []
+            ts: list[str] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                for i, t in enumerate(tokenize(text), start=1):
+                    ids.append(doc_id)
+                    ps.append(i)
+                    ts.append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "tpos": pd.array(ps, dtype="int64"),
+                    "tok": ts,
+                }
+            )
+
+    return df.select(
+        df[id_col].alias(id_col), df[text_col].alias(text_col)
+    ).mapInPandas(_kernel, _TOK_SCHEMA)

@@ -1426,7 +1426,7 @@ WITH d AS (
     SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {n_shards}
                AS shard_id,
            len(string_split(text, ' '))::BIGINT AS n_tok,
-           length(text)::BIGINT AS n_bytes
+           octet_length(encode(text))::BIGINT AS n_bytes
     FROM {table}
 ),
 a AS (

@@ -1439,14 +1439,19 @@ def q_dup_span_stats(spark, sf_dir):
     duplicated grams re-enter the wire) -> gaps-and-islands run detection
     under ONE doc_id exchange (the row_number window's HashPartitioning on
     doc_id satisfies every downstream doc-grouped aggregation, so the span
-    tail re-uses the exchange) -> map-only per-doc token counts join the
-    span aggregate back on doc_id. Docs with < K_SHINGLE tokens emit no row
-    (signature-query convention)."""
+    tail re-uses the exchange) -> n_positions = max(pos) from the SAME
+    kernel stream joins the span aggregate back on doc_id (one tokenizer
+    end to end; see positional_tokens). Docs with < K_SHINGLE tokens emit
+    no row (signature-query convention)."""
     from ..functions.shingle_kernel import positional_shingles
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = positional_shingles(d, K_SHINGLE).select(
-        "doc_id", "pos", F.unhex(F.md5("s")).alias("g")
+    # persisted: three consumers (df agg, occurrences re-join, n_positions)
+    # share one kernel pass — the q_containment_pairs discipline
+    occ = (
+        positional_shingles(d, K_SHINGLE)
+        .select("doc_id", "pos", F.unhex(F.md5("s")).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfg = occ.groupBy("g").agg(F.countDistinct("doc_id").alias("df_docs"))
     dup = occ.join(dfg.filter(F.col("df_docs") >= 2), "g").select(
@@ -1460,12 +1465,10 @@ def q_dup_span_stats(spark, sf_dir):
         F.sum("run_len").alias("n_dup_positions"),
         (F.max("run_len") + F.lit(K_SHINGLE - 1)).alias("longest_span_tokens"),
     )
-    tot = d.select(
-        "doc_id",
-        (F.size(tokens("text")) - F.lit(K_SHINGLE - 1))
-        .cast("long")
-        .alias("n_positions"),
-    ).filter(F.col("n_positions") >= 1)
+    # n_positions = max(pos) from the SAME kernel stream (positions run
+    # 1..n-k+1): deriving it from a JVM-side tokenizer instead would skew
+    # on any whitespace the two tokenizers class differently
+    tot = occ.groupBy("doc_id").agg(F.max("pos").alias("n_positions"))
     return tot.join(sp, "doc_id", "left").select(
         "doc_id",
         "n_positions",
@@ -1512,11 +1515,16 @@ def q_dup_span_removal(spark, sf_dir):
     partitioning. Docs with zero tokens emit no row; a doc whose every
     token is cut keeps md5('') — the contract a downstream keep-list
     consumes."""
-    from ..functions.shingle_kernel import positional_shingles
+    from ..functions.shingle_kernel import positional_shingles, positional_tokens
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = positional_shingles(d, K_SHINGLE).select(
-        "doc_id", "pos", F.unhex(F.md5("s")).alias("g")
+    # persist the slim kernel projection: three consumers (df/owner agg,
+    # occurrences re-join, nothing else re-runs the Python kernel) — the
+    # q_containment_pairs discipline
+    occ = (
+        positional_shingles(d, K_SHINGLE)
+        .select("doc_id", "pos", F.unhex(F.md5("s")).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     gstat = occ.groupBy("g").agg(
         F.countDistinct("doc_id").alias("df_docs"),
@@ -1542,9 +1550,10 @@ def q_dup_span_removal(spark, sf_dir):
             )
         ).alias("tpos"),
     ).distinct()
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("p0based", "tok")
-    ).select("doc_id", (F.col("p0based") + 1).alias("tpos"), "tok")
+    # the token stream being cut MUST come from the same tokenizer as the
+    # gram positions (see positional_tokens: a JVM split has a different
+    # whitespace class, and a one-token skew cuts the wrong span)
+    toks = positional_tokens(d).persist(StorageLevel.MEMORY_AND_DISK)
     kept = toks.join(remtok, ["doc_id", "tpos"], "left_anti")
     ka = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
@@ -1563,9 +1572,7 @@ def q_dup_span_removal(spark, sf_dir):
             )
         ).alias("kept_hash"),
     )
-    tot = d.select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") >= 1)
+    tot = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     return tot.join(ka, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -2014,7 +2021,12 @@ def q_lsh_recall_audit(spark, sf_dir):
 def _recall_audit(exact: DataFrame, ann: DataFrame) -> DataFrame:
     """Shared ANN-audit arithmetic: per-vector intersection of two
     deterministic k-sets with counts and rounded recall (one definition so
-    the IVF and LSH audit surfaces cannot drift)."""
+    the IVF and LSH audit surfaces cannot drift). Both inputs are
+    persisted: each feeds its own count AND the intersection join, and the
+    exact leg's lineage is the O(n^2) brute-force plan — without the
+    persist it would be evaluated twice."""
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
     ecnt = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
     acnt = ann.groupBy("vec_id").agg(F.count("*").alias("n_ann"))
     mcnt = (
@@ -2183,7 +2195,9 @@ def q_shard_balance(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
-        F.length("text").cast("long").alias("n_bytes"),
+        # octet_length, not length: writer balance is about BYTES written,
+        # and char counts understate CJK/emoji-heavy shards ~3x
+        F.octet_length("text").cast("long").alias("n_bytes"),
     )
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -768,7 +768,7 @@ def test_shard_balance_first_principles(spark):
         a = agg.setdefault(sid, [0, 0, 0])
         a[0] += 1
         a[1] += len(r.text.split(" "))
-        a[2] += len(r.text)
+        a[2] += len(r.text.encode("utf-8"))
 
     rows = q.q_shard_balance(spark, SF).collect()
     got = {

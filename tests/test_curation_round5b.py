@@ -375,7 +375,19 @@ def test_closing_surface_plan_shapes(spark):
         p = _plan(fn(spark, SF))
         assert "SinglePartition" not in p, fn.__name__
     # bounded rollups: aggregation only — no rank window, no SinglePartition
-    for fn in (q.q_pack_efficiency, q.q_source_quality_rollup):
+    for fn in (
+        q.q_pack_efficiency,
+        q.q_source_quality_rollup,
+        q.q_lineitem_pricing_summary,
+    ):
         p = _plan(fn(spark, SF))
         assert "SinglePartition" not in p, fn.__name__
         assert "Window" not in p, fn.__name__
+    # shard_balance: the ONLY SinglePartition is the share window over the
+    # bounded N_SHARDS aggregate (downstream of the groupBy, never the
+    # corpus) — the funnel discipline
+    p = _plan(q.q_shard_balance(spark, SF))
+    agg_pos = p.find("HashAggregate")
+    sp_pos = p.find("SinglePartition")
+    assert sp_pos != -1 and agg_pos != -1
+    assert p.count("SinglePartition") <= 2  # the one bounded window

@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q.q_deterministic_sample,
         "stratified_sample": q.q_stratified_sample,
         "shard_balance": q.q_shard_balance,
+        # training-set assembly: split, selection, yield
+        "train_split_leakage": q.q_train_split_leakage,
+        "dsir_weights": q.q_dsir_weights,
+        "token_yield_funnel": q.q_token_yield_funnel,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -170,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from intraarchivededuplicator_spark.functions.dsir import DSIR_B
     from intraarchivededuplicator_spark.plans import oracle as o
     from intraarchivededuplicator_spark.plans import queries as q
     from intraarchivededuplicator_spark.plans.queries import (
@@ -348,6 +353,11 @@ def oracle_sql() -> dict[str, str]:
             *q.STRATA_BANDS, q.STRATA_K
         ),
         "shard_balance": o.sql_shard_balance(q.N_SHARDS),
+        "train_split_leakage": o.sql_train_split_leakage(
+            SIMHASH_RADIUS, q.SPLIT_MOD, q.SPLIT_TRAIN_HI
+        ),
+        "dsir_weights": o.sql_dsir_weights(DSIR_B),
+        "token_yield_funnel": o.sql_token_yield_funnel(SIMHASH_RADIUS),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

@@ -194,16 +194,14 @@ SELECT cluster_size,
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
 
 
-def sql_dedup_keep_list(radius: int, table: str = "documents", blacklist=(0,)) -> str:
-    """Oracle for plans/queries.q_dedup_keep_list: exact (md5 text) and near
-    (SimHash Hamming <= radius, degenerate-blacklisted) duplicate edges closed
-    into connected components via a recursive CTE; the min-id member of each
-    cluster is kept, the rest drop with reason 'exact_dup' when a smaller-id
-    byte-identical twin exists anywhere, else 'near_dup'. The h_min window
-    mirrors the engine's NULL-safe text_hash grouping."""
+def _cte_keep_list(radius: int, table: str = "documents", blacklist=(0,)) -> str:
+    """Shared CTE chain ending in `kl(doc_id, cluster_id, keep, reason)` —
+    the C1 keep/drop verdict (see sql_dedup_keep_list). Callers must open
+    with WITH RECURSIVE. One definition feeds sql_dedup_keep_list,
+    sql_dedup_funnel's twin and sql_token_yield_funnel so the decision
+    arithmetic cannot drift between gated surfaces."""
     bl = ", ".join(str(b) for b in blacklist) or "NULL"
-    return f"""
-WITH RECURSIVE {cte_simhash(table)},
+    return f"""{cte_simhash(table)},
 ex AS (SELECT doc_id, md5(text) AS text_hash FROM {table}),
 pairs AS (
     SELECT a.doc_id AS u, b.doc_id AS v
@@ -223,14 +221,27 @@ reach (src, dst) AS (
 cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
 exf AS (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY text_hash) AS h_min FROM ex
-)
-SELECT c.doc_id, c.cluster_id,
-       (c.doc_id = c.cluster_id) AS keep,
-       CASE WHEN c.doc_id = c.cluster_id THEN 'kept'
-            WHEN e.h_min < c.doc_id THEN 'exact_dup'
-            ELSE 'near_dup' END AS reason
-FROM cl c JOIN exf e ON c.doc_id = e.doc_id
-ORDER BY c.doc_id"""
+),
+kl AS (
+    SELECT c.doc_id, c.cluster_id,
+           (c.doc_id = c.cluster_id) AS keep,
+           CASE WHEN c.doc_id = c.cluster_id THEN 'kept'
+                WHEN e.h_min < c.doc_id THEN 'exact_dup'
+                ELSE 'near_dup' END AS reason
+    FROM cl c JOIN exf e ON c.doc_id = e.doc_id
+)"""
+
+
+def sql_dedup_keep_list(radius: int, table: str = "documents", blacklist=(0,)) -> str:
+    """Oracle for plans/queries.q_dedup_keep_list: exact (md5 text) and near
+    (SimHash Hamming <= radius, degenerate-blacklisted) duplicate edges closed
+    into connected components via a recursive CTE; the min-id member of each
+    cluster is kept, the rest drop with reason 'exact_dup' when a smaller-id
+    byte-identical twin exists anywhere, else 'near_dup'. The h_min window
+    mirrors the engine's NULL-safe text_hash grouping."""
+    return f"""
+WITH RECURSIVE {_cte_keep_list(radius, table, blacklist)}
+SELECT doc_id, cluster_id, keep, reason FROM kl ORDER BY doc_id"""
 
 
 def sql_stream_exact_dedup(horizon_sec: int, table: str = "documents") -> str:
@@ -3117,3 +3128,129 @@ SELECT cluster_id, (count(DISTINCT id_a) + 1)::BIGINT AS n_members,
        max(dist)::BIGINT AS diameter,
        max(dist) > {radius} AS chained
 FROM w GROUP BY 1 ORDER BY 1"""
+
+
+def sql_train_split_leakage(
+    radius: int, split_mod: int, train_hi: int, table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_train_split_leakage: brute-force radius
+    pairs classified by the md5(doc_id)-bucket train/valid/test membership
+    of their endpoints (the same hex-prefix hash discipline as
+    sql_shard_balance), folded to per-split-combination counts with a
+    cross_split flag and pair share."""
+    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    return f"""
+WITH {cte_simhash(table)},
+sp AS (
+    SELECT doc_id,
+           CASE WHEN b < {train_hi} THEN 'train'
+                WHEN b = {train_hi} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {split_mod} AS b
+        FROM {table}
+    )
+),
+p AS (
+    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+),
+c AS (
+    SELECT least(x.split, y.split) AS split_a,
+           greatest(x.split, y.split) AS split_b
+    FROM p JOIN sp x ON p.id_lo = x.doc_id
+           JOIN sp y ON p.id_hi = y.doc_id
+),
+a AS (
+    SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+    FROM c GROUP BY 1, 2
+)
+SELECT split_a, split_b, n_pairs,
+       split_a <> split_b AS cross_split,
+       round(n_pairs::DOUBLE / sum(n_pairs) OVER (), 6) + 0.0 AS frac
+FROM a ORDER BY split_a, split_b"""
+
+
+def sql_dsir_weights(
+    n_buckets: int, table: str = "documents", target: str = "lang = 'en'"
+) -> str:
+    """Oracle for plans/queries.q_dsir_weights — see functions/dsir.py for
+    the no-engine-takes-a-log exactness argument. The quantized log table
+    is the SAME Python-computed constant list the engine broadcasts
+    (charlm.LP_MICRO) embedded as VALUES; bucket assignment is the md5
+    hex-prefix hash; every division has a non-negative numerator so
+    DuckDB's flooring // matches Spark's truncating div."""
+    from ..functions.charlm import CHARLM_Q, lp_values_sql
+
+    q = CHARLM_Q
+    return rf"""
+WITH lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
+tok AS (
+    SELECT d.doc_id, {target} AS is_t,
+           ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % {n_buckets} AS b
+    FROM {table} d,
+         unnest(list_filter(string_split_regex(d.text, '\s+'),
+                            x -> x <> '')) AS t(tok)
+),
+db AS (
+    SELECT doc_id, is_t, b, count(*)::BIGINT AS n
+    FROM tok GROUP BY 1, 2, 3
+),
+bc AS (
+    SELECT b, sum(n)::BIGINT AS c_r,
+           sum(CASE WHEN is_t THEN n ELSE 0 END)::BIGINT AS c_t
+    FROM db GROUP BY b
+),
+tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM bc),
+pq AS (
+    SELECT bc.b,
+           greatest(1, least({q}, (bc.c_t * {q}) // tot.t_t)) AS pq_t,
+           greatest(1, least({q}, (bc.c_r * {q}) // tot.t_r)) AS pq_r
+    FROM bc CROSS JOIN tot
+),
+lr AS (
+    SELECT pq.b, lt.lp_micro - lr2.lp_micro AS lr_micro
+    FROM pq JOIN lp lt ON lt.p_q = pq.pq_t
+            JOIN lp lr2 ON lr2.p_q = pq.pq_r
+)
+SELECT db.doc_id, sum(db.n)::BIGINT AS n_tok,
+       sum(db.n * lr.lr_micro)::BIGINT AS dsir_micro
+FROM db JOIN lr ON db.b = lr.b
+GROUP BY db.doc_id ORDER BY doc_id"""
+
+
+def sql_token_yield_funnel(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_token_yield_funnel: the shared
+    _cte_keep_list verdict joined to per-doc token counts, folded to the
+    3-stage token-retention funnel (raw -> after exact -> after near)."""
+    return rf"""
+WITH RECURSIVE {_cte_keep_list(radius, table, blacklist)},
+nt AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> ''))::BIGINT AS n_tok
+    FROM {table}
+),
+j AS (SELECT k.reason, n.n_tok FROM kl k JOIN nt n ON k.doc_id = n.doc_id),
+a AS (
+    SELECT count(*)::BIGINT AS d0, sum(n_tok)::BIGINT AS t0,
+           sum(CASE WHEN reason <> 'exact_dup' THEN 1 ELSE 0 END)::BIGINT AS d1,
+           sum(CASE WHEN reason <> 'exact_dup' THEN n_tok ELSE 0 END)::BIGINT AS t1,
+           sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)::BIGINT AS d2,
+           sum(CASE WHEN reason = 'kept' THEN n_tok ELSE 0 END)::BIGINT AS t2
+    FROM j
+)
+SELECT '0_raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+       round(t0::DOUBLE / t0, 6) + 0.0 AS token_yield FROM a
+UNION ALL
+SELECT '1_after_exact', d1, t1, round(t1::DOUBLE / t0, 6) + 0.0 FROM a
+UNION ALL
+SELECT '2_after_near', d2, t2, round(t2::DOUBLE / t0, 6) + 0.0 FROM a
+ORDER BY stage"""

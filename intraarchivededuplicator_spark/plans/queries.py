@@ -3685,3 +3685,134 @@ def q_cluster_diameter_stats(spark, sf_dir):
             (F.col("diameter") > SIMHASH_RADIUS).alias("chained"),
         )
     )
+
+
+# --- training-set assembly: split, selection, yield -------------------------
+
+SPLIT_MOD = 20          # md5 split buckets: 18 train / 1 valid / 1 test
+SPLIT_TRAIN_HI = 18     # buckets [0, 18) -> train, 18 -> valid, 19 -> test
+
+
+def _split_col(id_col):
+    """Deterministic train/valid/test assignment by md5(doc_id) bucket —
+    the J11 hash discipline (q_shard_balance), so membership is stable
+    across engines, runs, and cluster sizes (the property that makes an
+    eval split trustworthy at all: re-running the pipeline cannot migrate
+    docs between train and test)."""
+    b = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SPLIT_MOD
+    )
+    return (
+        F.when(b < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(b == SPLIT_TRAIN_HI, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def q_train_split_leakage(spark, sf_dir):
+    """Eval-decontamination audit: near-duplicate pairs classified by the
+    train/valid/test membership of their endpoints. A cross-split pair is
+    LEAKED evaluation data — a test doc whose near-twin sits in train
+    inflates every benchmark number it touches (the reason training
+    pipelines run dedup BEFORE splitting). One row per unordered split
+    combination with pair count, a cross_split flag, and the share of all
+    near-dup pairs.
+
+    Plan shape at 10^12 docs: the banded radius join (already the gated
+    scale shape) -> two shuffle-hash joins against the slim (doc_id,
+    split) projection (split is map-only md5 arithmetic, no extra
+    exchange for the assignment itself) -> a <= 6-row aggregate; the
+    share window runs over that bounded aggregate."""
+    d = docs_with_sig(spark, sf_dir)
+    pairs = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi")
+    sp = load(spark, sf_dir, "documents").select(
+        "doc_id", _split_col(F.col("doc_id")).alias("split")
+    )
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_lo"), F.col("split").alias("sp_a")
+            ).hint("shuffle_hash"),
+            "id_lo",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_hi"), F.col("split").alias("sp_b")
+            ).hint("shuffle_hash"),
+            "id_hi",
+        )
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+    )
+    agg = j.groupBy("split_a", "split_b").agg(F.count("*").alias("n_pairs"))
+    tot = F.sum("n_pairs").over(Window.partitionBy())  # <= 6 rows
+    return agg.select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("cross_split"),
+        (F.round(F.col("n_pairs") / tot, 6) + F.lit(0.0)).alias("frac"),
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weight per document (functions/dsir.py): how
+    much more likely the doc's hashed-unigram profile is under the target
+    slice (lang='en') than under the raw corpus, in exact micro-nats —
+    the data-selection score a training-data mixer samples against. All
+    integer arithmetic over the shared quantized-log table (the charlm
+    no-engine-takes-a-log discipline), so the score is hash-gateable."""
+    from ..functions.dsir import dsir_weights
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+def q_token_yield_funnel(spark, sf_dir):
+    """TOKEN-level retention funnel — the number that actually prices a
+    dedup stage for LLM training: how many trainable tokens survive (a)
+    nothing, (b) exact dedup, (c) exact+near dedup. Doc-count funnels
+    (q_dedup_funnel) understate the cut when duplicates skew long, which
+    is exactly what boilerplate and mirrored pages do; this reports both
+    grains per stage plus the token yield vs raw.
+
+    Plan shape: everything q_dedup_keep_list pays (banded join + exact
+    hash-groupBy + bounded CC) plus one corpus-sized join against the
+    slim (doc_id, n_tok) projection folded into a SINGLE-ROW aggregate;
+    the 3-row unpivot runs on that one row, driver-bounded."""
+    kl = q_dedup_keep_list(spark, sf_dir).select("doc_id", "reason")
+    nt = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    a = (
+        kl.join(nt, "doc_id")
+        .agg(
+            F.count("*").alias("d0"),
+            F.sum("n_tok").alias("t0"),
+            F.sum(
+                F.when(F.col("reason") != "exact_dup", 1).otherwise(0)
+            ).cast("long").alias("d1"),
+            F.sum(
+                F.when(F.col("reason") != "exact_dup", F.col("n_tok")).otherwise(0)
+            ).cast("long").alias("t1"),
+            F.sum(F.when(F.col("reason") == "kept", 1).otherwise(0))
+            .cast("long")
+            .alias("d2"),
+            F.sum(
+                F.when(F.col("reason") == "kept", F.col("n_tok")).otherwise(0)
+            ).cast("long").alias("t2"),
+        )
+    )
+    return a.selectExpr(
+        "stack(3, "
+        "'0_raw', d0, t0, round(CAST(t0 AS DOUBLE) / t0, 6) + 0.0, "
+        "'1_after_exact', d1, t1, round(CAST(t1 AS DOUBLE) / t0, 6) + 0.0, "
+        "'2_after_near', d2, t2, round(CAST(t2 AS DOUBLE) / t0, 6) + 0.0"
+        ") AS (stage, n_docs, n_tokens, token_yield)"
+    )

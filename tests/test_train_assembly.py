@@ -1,0 +1,239 @@
+"""Pin the training-set assembly surfaces: train_split_leakage (eval
+decontamination audit), dsir_weights (DSIR importance selection score),
+token_yield_funnel (token-level dedup retention).
+
+Each gets (a) a transport-strict DuckDB oracle differential at sf0.001 —
+the driver's own compare, at a different SF than the driver uses — and
+(b) a first-principles recompute in plain Python (hashlib md5, integer
+quantization, brute-force Hamming pairs) so the pins don't share code
+with either engine.
+"""
+
+import hashlib
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracles import normalize_df  # noqa: E402
+
+from intraarchivededuplicator_spark.functions.charlm import (  # noqa: E402
+    CHARLM_Q,
+    LP_MICRO,
+)
+from intraarchivededuplicator_spark.functions.dsir import DSIR_B  # noqa: E402
+from intraarchivededuplicator_spark.functions.hashing import (  # noqa: E402
+    simhash64,
+)
+from intraarchivededuplicator_spark.plans import oracle as o  # noqa: E402
+from intraarchivededuplicator_spark.plans import queries as q  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_df(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def _strict_compare(spdf, opdf):
+    scols, skinds, srows = normalize_df(spdf)
+    ocols, okinds, orows = normalize_df(opdf)
+    assert scols == ocols
+    assert srows == orows
+    for c in scols:
+        assert {"int", "float"} != {skinds[c], okinds[c]}, c
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.sql(
+        f"SELECT doc_id, text, lang FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+def _md5_prefix_mod(s: str, mod: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def _split(doc_id: int) -> str:
+    b = _md5_prefix_mod(str(doc_id), q.SPLIT_MOD)
+    if b < q.SPLIT_TRAIN_HI:
+        return "train"
+    if b == q.SPLIT_TRAIN_HI:
+        return "valid"
+    return "test"
+
+
+# --- train_split_leakage ----------------------------------------------------
+
+def test_train_split_leakage_oracle(spark):
+    spdf = q.q_train_split_leakage(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_train_split_leakage(
+            q.SIMHASH_RADIUS, q.SPLIT_MOD, q.SPLIT_TRAIN_HI
+        )
+    )
+    _strict_compare(spdf, opdf)
+
+
+def test_train_split_leakage_first_principles(spark):
+    """Recompute from scratch: brute-force Hamming pairs over the Python
+    simhash64, split labels from hashlib md5, no engine code."""
+    rows = _docs()
+    sigs = {d: simhash64(t) for d, t, _ in rows}
+    from collections import Counter
+
+    combos = Counter()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        if sigs[a] == 0:
+            continue
+        for b in ids[i + 1:]:
+            if sigs[b] == 0:
+                continue
+            if bin(sigs[a] ^ sigs[b]).count("1") <= q.SIMHASH_RADIUS:
+                sa, sb = sorted((_split(a), _split(b)))
+                combos[(sa, sb)] += 1
+    spdf = q.q_train_split_leakage(spark, SF).toPandas()
+    got = {
+        (r.split_a, r.split_b): r.n_pairs for r in spdf.itertuples()
+    }
+    assert got == dict(combos)
+    tot = sum(combos.values())
+    for r in spdf.itertuples():
+        assert r.cross_split == (r.split_a != r.split_b)
+        assert math.isclose(
+            r.frac, round(combos[(r.split_a, r.split_b)] / tot, 6)
+        )
+
+
+def test_split_assignment_is_deterministic_and_balanced():
+    """The split is a pure function of doc_id (no data dependence) and the
+    md5 buckets land near 90/5/5 over a large id range."""
+    n = 20_000
+    counts = {"train": 0, "valid": 0, "test": 0}
+    for i in range(n):
+        counts[_split(i)] += 1
+    assert counts["train"] / n == pytest.approx(0.90, abs=0.01)
+    assert counts["valid"] / n == pytest.approx(0.05, abs=0.01)
+    assert counts["test"] / n == pytest.approx(0.05, abs=0.01)
+
+
+# --- dsir_weights -----------------------------------------------------------
+
+def _dsir_python(rows):
+    """First-principles DSIR recompute: md5 buckets, integer quantization,
+    the shared LP_MICRO table — plain dicts, no engine code."""
+    from collections import Counter, defaultdict
+
+    per_doc = {}
+    c_r, c_t = Counter(), Counter()
+    for doc_id, text, lang in rows:
+        toks = [t for t in (text or "").split() if t]
+        buckets = Counter(_md5_prefix_mod(t, DSIR_B) for t in toks)
+        per_doc[doc_id] = buckets
+        for b, n in buckets.items():
+            c_r[b] += n
+            if lang == "en":
+                c_t[b] += n
+    t_r, t_t = sum(c_r.values()), sum(c_t.values())
+    lr = {}
+    for b in c_r:
+        pq_t = max(1, min(CHARLM_Q, (c_t.get(b, 0) * CHARLM_Q) // t_t))
+        pq_r = max(1, min(CHARLM_Q, (c_r[b] * CHARLM_Q) // t_r))
+        lr[b] = LP_MICRO[pq_t - 1] - LP_MICRO[pq_r - 1]
+    out = {}
+    for doc_id, buckets in per_doc.items():
+        if not buckets:
+            continue
+        out[doc_id] = (
+            sum(buckets.values()),
+            sum(n * lr[b] for b, n in buckets.items()),
+        )
+    return out
+
+
+def test_dsir_weights_oracle(spark):
+    spdf = q.q_dsir_weights(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_dsir_weights(DSIR_B))
+    _strict_compare(spdf, opdf)
+
+
+def test_dsir_weights_first_principles(spark):
+    rows = _docs()
+    want = _dsir_python(rows)
+    spdf = q.q_dsir_weights(spark, SF).toPandas()
+    got = {
+        r.doc_id: (r.n_tok, r.dsir_micro) for r in spdf.itertuples()
+    }
+    assert got == want
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """The score must actually select: mean weight of target-lang docs
+    strictly above mean weight of the rest (the whole point of DSIR)."""
+    rows = _docs()
+    lang = {d: l for d, _, l in rows}
+    spdf = q.q_dsir_weights(spark, SF).toPandas()
+    tgt = [r.dsir_micro for r in spdf.itertuples() if lang[r.doc_id] == "en"]
+    rest = [r.dsir_micro for r in spdf.itertuples() if lang[r.doc_id] != "en"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_python_div_matches_engines():
+    """Spark `div` truncates, DuckDB `//` floors: every quantization
+    numerator is non-negative by construction, where the two agree. Guard
+    the precondition the oracle docstring states."""
+    rows = _docs()
+    from collections import Counter
+
+    c_r = Counter()
+    for _, text, _ in rows:
+        for t in (text or "").split():
+            if t:
+                c_r[_md5_prefix_mod(t, DSIR_B)] += 1
+    assert all(v >= 0 for v in c_r.values())
+    assert all(0 <= b < DSIR_B for b in c_r)
+
+
+# --- token_yield_funnel -----------------------------------------------------
+
+def test_token_yield_funnel_oracle(spark):
+    spdf = q.q_token_yield_funnel(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_token_yield_funnel(q.SIMHASH_RADIUS))
+    _strict_compare(spdf, opdf)
+
+
+def test_token_yield_funnel_composition(spark):
+    """The funnel must be exactly the gated keep-list verdict folded with
+    Python-side token counts — and monotone non-increasing."""
+    kl = {
+        r.doc_id: r.reason
+        for r in q.q_dedup_keep_list(spark, SF).toPandas().itertuples()
+    }
+    ntok = {
+        d: len([t for t in (text or "").split() if t])
+        for d, text, _ in _docs()
+    }
+    t0 = sum(ntok.values())
+    t1 = sum(n for d, n in ntok.items() if kl[d] != "exact_dup")
+    t2 = sum(n for d, n in ntok.items() if kl[d] == "kept")
+    spdf = q.q_token_yield_funnel(spark, SF).toPandas()
+    by_stage = {r.stage: r for r in spdf.itertuples()}
+    assert by_stage["0_raw"].n_tokens == t0
+    assert by_stage["1_after_exact"].n_tokens == t1
+    assert by_stage["2_after_near"].n_tokens == t2
+    assert by_stage["0_raw"].n_docs == len(kl)
+    assert t0 >= t1 >= t2 > 0
+    for stage, tok in (("0_raw", t0), ("1_after_exact", t1), ("2_after_near", t2)):
+        assert math.isclose(by_stage[stage].token_yield, round(tok / t0, 6))

@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_leakage": q.q_train_split_leakage,
         "dsir_weights": q.q_dsir_weights,
         "token_yield_funnel": q.q_token_yield_funnel,
+        "cluster_best_rep": q.q_cluster_best_rep,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -358,6 +359,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_weights": o.sql_dsir_weights(DSIR_B),
         "token_yield_funnel": o.sql_token_yield_funnel(SIMHASH_RADIUS),
+        "cluster_best_rep": o.sql_cluster_best_rep(
+            SIMHASH_RADIUS,
+            q.STOPWORDS,
+            q.QUALITY_MIN_TOKENS,
+            q.QUALITY_MAX_STOP_RATIO,
+            q.QUALITY_MIN_DISTINCT_RATIO,
+        ),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

@@ -3254,3 +3254,50 @@ SELECT '1_after_exact', d1, t1, round(t1::DOUBLE / t0, 6) + 0.0 FROM a
 UNION ALL
 SELECT '2_after_near', d2, t2, round(t2::DOUBLE / t0, 6) + 0.0 FROM a
 ORDER BY stage"""
+
+
+def sql_cluster_best_rep(
+    radius: int,
+    stopwords: list[str],
+    min_tokens: int,
+    max_stop_ratio: float,
+    min_distinct_ratio: float,
+    table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_cluster_best_rep: the shared
+    _cte_keep_list closure joined to the shared _quality_m_cte arithmetic;
+    per multi-member cluster, row_number over (passes DESC, n_tokens DESC,
+    doc_id) picks the representative."""
+    return rf"""
+WITH RECURSIVE {_cte_keep_list(radius, table, blacklist)},
+{_quality_m_cte(stopwords)},
+q AS (
+    SELECT doc_id, n_tokens,
+           (n_tokens >= {min_tokens}
+            AND round(n_stop / greatest(n_tokens, 1), 6) <= {max_stop_ratio}
+            AND round(n_distinct / greatest(n_tokens, 1), 6)
+                >= {min_distinct_ratio}) AS passes_quality
+    FROM m
+),
+mem AS (
+    SELECT k.cluster_id, k.doc_id, q.n_tokens, q.passes_quality
+    FROM kl k JOIN q ON k.doc_id = q.doc_id
+),
+sz AS (
+    SELECT cluster_id, count(*)::BIGINT AS n_members
+    FROM mem GROUP BY 1 HAVING count(*) >= 2
+),
+r AS (
+    SELECT mem.cluster_id, mem.doc_id, mem.n_tokens, mem.passes_quality,
+           sz.n_members,
+           row_number() OVER (
+               PARTITION BY mem.cluster_id
+               ORDER BY mem.passes_quality DESC, mem.n_tokens DESC, mem.doc_id
+           ) AS rn
+    FROM mem JOIN sz ON mem.cluster_id = sz.cluster_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_members,
+       n_tokens AS rep_n_tokens, passes_quality AS rep_passes_quality,
+       doc_id <> cluster_id AS differs_from_min_id
+FROM r WHERE rn = 1 ORDER BY cluster_id"""

@@ -3816,3 +3816,50 @@ def q_token_yield_funnel(spark, sf_dir):
         "'2_after_near', d2, t2, round(CAST(t2 AS DOUBLE) / t0, 6) + 0.0"
         ") AS (stage, n_docs, n_tokens, token_yield)"
     )
+
+
+def q_cluster_best_rep(spark, sf_dir):
+    """Quality-aware cluster representative selection — what production
+    dedup actually keeps: per multi-member duplicate cluster (the gated
+    keep-list closure: exact ∪ near edges), the member winning on
+    (passes_quality DESC, n_tokens DESC, doc_id ASC) under the shared
+    _quality_parts arithmetic, plus whether that choice differs from the
+    min-id rule the keep list uses (the measurable value of quality-aware
+    rep selection: every TRUE row is a better doc the naive rule threw
+    away). Ordering keys are boolean/integer only — the
+    q_domain_quota_topk determinism discipline.
+
+    Plan shape at 10^12 docs: everything the keep-list pays, then the
+    cluster-size semi-join FIRST so the rank window only sees members of
+    multi-member clusters (dup clusters are a small fraction of the
+    corpus and individually small by construction); the window partitions
+    by cluster_id — thousands of small partitions, never one big one."""
+    kl = q_dedup_keep_list(spark, sf_dir).select("doc_id", "cluster_id")
+    n_tok, _, _, _, passes = _quality_parts()
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        passes.alias("passes_quality"),
+    )
+    mem = kl.join(d, "doc_id")
+    sizes = (
+        mem.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("passes_quality"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        mem.join(sizes, "cluster_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("n_tokens").alias("rep_n_tokens"),
+            F.col("passes_quality").alias("rep_passes_quality"),
+            (F.col("doc_id") != F.col("cluster_id")).alias("differs_from_min_id"),
+        )
+    )

@@ -237,3 +237,57 @@ def test_token_yield_funnel_composition(spark):
     assert t0 >= t1 >= t2 > 0
     for stage, tok in (("0_raw", t0), ("1_after_exact", t1), ("2_after_near", t2)):
         assert math.isclose(by_stage[stage].token_yield, round(tok / t0, 6))
+
+
+# --- cluster_best_rep -------------------------------------------------------
+
+def test_cluster_best_rep_oracle(spark):
+    spdf = q.q_cluster_best_rep(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_cluster_best_rep(
+            q.SIMHASH_RADIUS,
+            q.STOPWORDS,
+            q.QUALITY_MIN_TOKENS,
+            q.QUALITY_MAX_STOP_RATIO,
+            q.QUALITY_MIN_DISTINCT_RATIO,
+        )
+    )
+    _strict_compare(spdf, opdf)
+
+
+def test_cluster_best_rep_composition(spark):
+    """The rep must be the argmax of the gated quality surface within the
+    gated keep-list cluster: recompute from the two already-gated queries
+    plus pure Python ordering."""
+    kl = q.q_dedup_keep_list(spark, SF).toPandas()
+    tq = {
+        r.doc_id: (bool(r.passes_quality), int(r.n_tokens))
+        for r in q.q_text_quality(spark, SF).toPandas().itertuples()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in kl.itertuples():
+        members[r.cluster_id].append(r.doc_id)
+    want = {}
+    for cid, docs in members.items():
+        if len(docs) < 2:
+            continue
+        best = min(
+            docs, key=lambda d: (not tq[d][0], -tq[d][1], d)
+        )
+        want[cid] = (best, len(docs))
+    spdf = q.q_cluster_best_rep(spark, SF).toPandas()
+    got = {
+        r.cluster_id: (r.rep_doc_id, r.n_members)
+        for r in spdf.itertuples()
+    }
+    assert got == want
+    for r in spdf.itertuples():
+        assert r.differs_from_min_id == (r.rep_doc_id != r.cluster_id)
+        # the rep is at least as good as the min-id member on the sort key
+        lo_key = (not tq[r.cluster_id][0], -tq[r.cluster_id][1], r.cluster_id)
+        rep_key = (
+            not tq[r.rep_doc_id][0], -tq[r.rep_doc_id][1], r.rep_doc_id
+        )
+        assert rep_key <= lo_key

@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q.q_dsir_weights,
         "token_yield_funnel": q.q_token_yield_funnel,
         "cluster_best_rep": q.q_cluster_best_rep,
+        "signal_agreement": q.q_signal_agreement,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -365,6 +366,10 @@ def oracle_sql() -> dict[str, str]:
             q.QUALITY_MIN_TOKENS,
             q.QUALITY_MAX_STOP_RATIO,
             q.QUALITY_MIN_DISTINCT_RATIO,
+        ),
+        "signal_agreement": o.sql_signal_agreement(
+            SIMHASH_RADIUS, ORACLE_MINHASH, K_SHINGLE,
+            n_bands=4, rows_per_band=4,
         ),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),

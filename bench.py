@@ -71,6 +71,12 @@ HEADLINE = [
     "pack_efficiency",
     "source_quality_rollup",
     "shard_balance",
+    # training-set assembly additions (matched-33 = the rows above):
+    # split-leakage audit, DSIR selection, token yield, best-rep selection
+    "train_split_leakage",
+    "dsir_weights",
+    "token_yield_funnel",
+    "cluster_best_rep",
 ]
 
 

@@ -3301,3 +3301,57 @@ SELECT cluster_id, doc_id AS rep_doc_id, n_members,
        n_tokens AS rep_n_tokens, passes_quality AS rep_passes_quality,
        doc_id <> cluster_id AS differs_from_min_id
 FROM r WHERE rn = 1 ORDER BY cluster_id"""
+
+
+def sql_signal_agreement(
+    radius: int,
+    params: MinHashParams,
+    k_shingle: int,
+    n_bands: int,
+    rows_per_band: int,
+    table: str = "documents",
+    blacklist=(0,),
+) -> str:
+    """Oracle for plans/queries.q_signal_agreement: the exact / SimHash /
+    MinHash pair sets (the latter two reuse the gated oracles as nested
+    subqueries — DuckDB allows WITH inside a CTE body), folded to a
+    membership bitmask and crossed with the 3-row family table."""
+    shp = sql_simhash_radius_pairs(radius, table, blacklist)
+    mhp = sql_minhash_band_pairs(params, k_shingle, n_bands, rows_per_band, table)
+    return f"""
+WITH exh AS (SELECT doc_id, md5(text) AS th FROM {table}),
+ex AS (
+    SELECT x.doc_id AS id_lo, y.doc_id AS id_hi
+    FROM exh x JOIN exh y ON x.doc_id < y.doc_id AND x.th = y.th
+),
+shp AS (SELECT id_lo, id_hi FROM ({shp})),
+mhp AS (SELECT id_lo, id_hi FROM ({mhp})),
+tagged AS (
+    SELECT id_lo, id_hi, 1 AS m FROM ex
+    UNION ALL SELECT id_lo, id_hi, 2 FROM shp
+    UNION ALL SELECT id_lo, id_hi, 4 FROM mhp
+),
+msk AS (
+    SELECT id_lo, id_hi, sum(m)::BIGINT AS mask FROM tagged GROUP BY 1, 2
+),
+mc AS (SELECT mask, count(*)::BIGINT AS n FROM msk GROUP BY 1),
+fams (fam_a, fam_b, bit_a, bit_b) AS (
+    VALUES ('exact', 'minhash', 1, 4),
+           ('exact', 'simhash', 1, 2),
+           ('minhash', 'simhash', 4, 2)
+),
+agg AS (
+    SELECT fam_a, fam_b,
+           sum(CASE WHEN (mask & bit_a) <> 0 THEN n ELSE 0 END)::BIGINT
+               AS n_pairs_a,
+           sum(CASE WHEN (mask & bit_b) <> 0 THEN n ELSE 0 END)::BIGINT
+               AS n_pairs_b,
+           sum(CASE WHEN (mask & bit_a) <> 0 AND (mask & bit_b) <> 0
+                    THEN n ELSE 0 END)::BIGINT AS n_common
+    FROM fams CROSS JOIN mc GROUP BY 1, 2
+)
+SELECT fam_a, fam_b, n_pairs_a, n_pairs_b, n_common,
+       CASE WHEN n_pairs_a + n_pairs_b - n_common = 0 THEN 0.0
+            ELSE round(n_common::DOUBLE / (n_pairs_a + n_pairs_b - n_common),
+                       6) + 0.0 END AS edge_jaccard
+FROM agg ORDER BY fam_a, fam_b"""

@@ -3863,3 +3863,77 @@ def q_cluster_best_rep(spark, sf_dir):
             (F.col("doc_id") != F.col("cluster_id")).alias("differs_from_min_id"),
         )
     )
+
+
+def q_signal_agreement(spark, sf_dir):
+    """Signal-family AGREEMENT matrix — the redundancy audit behind
+    multi_signal_clusters and dedup_ablation: for each pair of signature
+    families (exact md5 / banded SimHash / banded MinHash), the size of
+    each family's candidate-pair set, the pairs they share, and the edge
+    Jaccard. High agreement means a family adds little marginal recall
+    (dedup_ablation shows the cumulative view; this shows WHICH families
+    overlap pairwise). Families tag pairs with power-of-2 marks; each
+    family emits a pair at most once, so sum(mark) IS the membership
+    bitmask.
+
+    Plan shape at 10^12 docs: the three edge legs are the gated scale
+    shapes (hash-groupBy / banded joins); the union is exchange-free; one
+    exchange groups by canonical pair to fold the bitmask; everything
+    after is over <= 7 mask rows crossed with 3 literal family rows."""
+    mhu = make_minhash_udf(K_SHINGLE, ORACLE_MINHASH)
+    d = with_text_hash(docs_with_sig(spark, sf_dir)).withColumn(
+        "minhash", mhu(F.col("text"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = exact_pairs(d, "doc_id", "text_hash").select(
+        "id_lo", "id_hi", F.lit(1).alias("m")
+    )
+    near = banded_self_join(
+        d, "doc_id", "simhash", SIMHASH_RADIUS, blacklist=(0,)
+    ).select("id_lo", "id_hi", F.lit(2).alias("m"))
+    mhp = minhash_candidate_pairs(
+        d.select("doc_id", "minhash"), "doc_id", "minhash",
+        n_bands=4, rows_per_band=4,
+    ).select("id_lo", "id_hi", F.lit(4).alias("m"))
+    mask = (
+        ex.unionByName(near).unionByName(mhp)
+        .groupBy("id_lo", "id_hi")
+        .agg(F.sum("m").cast("long").alias("mask"))
+    )
+    mc = mask.groupBy("mask").agg(F.count("*").alias("n"))  # <= 7 rows
+    fams = spark.createDataFrame(
+        [
+            ("exact", "minhash", 1, 4),
+            ("exact", "simhash", 1, 2),
+            ("minhash", "simhash", 4, 2),
+        ],
+        "fam_a string, fam_b string, bit_a int, bit_b int",
+    )
+    agg = (
+        fams.crossJoin(mc)
+        .groupBy("fam_a", "fam_b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(mask & bit_a) <> 0"), F.col("n")).otherwise(0)
+            ).cast("long").alias("n_pairs_a"),
+            F.sum(
+                F.when(F.expr("(mask & bit_b) <> 0"), F.col("n")).otherwise(0)
+            ).cast("long").alias("n_pairs_b"),
+            F.sum(
+                F.when(
+                    F.expr("(mask & bit_a) <> 0 AND (mask & bit_b) <> 0"),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("long").alias("n_common"),
+        )
+    )
+    denom = F.col("n_pairs_a") + F.col("n_pairs_b") - F.col("n_common")
+    return agg.select(
+        "fam_a",
+        "fam_b",
+        "n_pairs_a",
+        "n_pairs_b",
+        "n_common",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_common") / denom, 6) + F.lit(0.0))
+        .alias("edge_jaccard"),
+    )

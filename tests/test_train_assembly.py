@@ -291,3 +291,54 @@ def test_cluster_best_rep_composition(spark):
             not tq[r.rep_doc_id][0], -tq[r.rep_doc_id][1], r.rep_doc_id
         )
         assert rep_key <= lo_key
+
+
+# --- signal_agreement -------------------------------------------------------
+
+def test_signal_agreement_oracle(spark):
+    spdf = q.q_signal_agreement(spark, SF).toPandas()
+    opdf = _oracle_df(
+        o.sql_signal_agreement(
+            q.SIMHASH_RADIUS, q.ORACLE_MINHASH, q.K_SHINGLE,
+            n_bands=4, rows_per_band=4,
+        )
+    )
+    _strict_compare(spdf, opdf)
+
+
+def test_signal_agreement_composition(spark):
+    """The matrix must fold exactly the three gated pair surfaces: recompute
+    each family's pair set from its own gated query and intersect in
+    Python."""
+    sim = {
+        (r.id_lo, r.id_hi)
+        for r in q.q_simhash_radius_pairs(spark, SF).toPandas().itertuples()
+    }
+    mh = {
+        (r.id_lo, r.id_hi)
+        for r in q.q_minhash_band_pairs(spark, SF).toPandas().itertuples()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    ex = {
+        (a, b)
+        for a, b in con.sql(
+            f"""WITH h AS (SELECT doc_id, md5(text) th
+                           FROM '{SF}/documents.parquet')
+                SELECT x.doc_id, y.doc_id FROM h x JOIN h y
+                ON x.doc_id < y.doc_id AND x.th = y.th"""
+        ).fetchall()
+    }
+    fam = {"exact": ex, "simhash": sim, "minhash": mh}
+    spdf = q.q_signal_agreement(spark, SF).toPandas()
+    assert len(spdf) == 3
+    for r in spdf.itertuples():
+        a, b = fam[r.fam_a], fam[r.fam_b]
+        assert r.n_pairs_a == len(a)
+        assert r.n_pairs_b == len(b)
+        assert r.n_common == len(a & b)
+        assert r.n_common <= min(r.n_pairs_a, r.n_pairs_b)
+        denom = len(a | b)
+        want = round(len(a & b) / denom, 6) if denom else 0.0
+        assert math.isclose(r.edge_jaccard, want)

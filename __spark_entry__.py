@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_yield_funnel": q.q_token_yield_funnel,
         "cluster_best_rep": q.q_cluster_best_rep,
         "signal_agreement": q.q_signal_agreement,
+        "source_dedup_savings": q.q_source_dedup_savings,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
             SIMHASH_RADIUS, ORACLE_MINHASH, K_SHINGLE,
             n_bands=4, rows_per_band=4,
         ),
+        "source_dedup_savings": o.sql_source_dedup_savings(SIMHASH_RADIUS),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

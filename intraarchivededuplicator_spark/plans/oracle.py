@@ -3355,3 +3355,35 @@ SELECT fam_a, fam_b, n_pairs_a, n_pairs_b, n_common,
             ELSE round(n_common::DOUBLE / (n_pairs_a + n_pairs_b - n_common),
                        6) + 0.0 END AS edge_jaccard
 FROM agg ORDER BY fam_a, fam_b"""
+
+
+def sql_source_dedup_savings(
+    radius: int, table: str = "documents", blacklist=(0,)
+) -> str:
+    """Oracle for plans/queries.q_source_dedup_savings: the shared
+    _cte_keep_list verdict joined to (source, token count), folded per
+    source with the token savings fraction."""
+    return rf"""
+WITH RECURSIVE {_cte_keep_list(radius, table, blacklist)},
+nt AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> ''))::BIGINT AS n_tok
+    FROM {table}
+),
+j AS (
+    SELECT n.source, k.reason <> 'kept' AS removed, n.n_tok
+    FROM kl k JOIN nt n ON k.doc_id = n.doc_id
+),
+a AS (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           sum(n_tok)::BIGINT AS n_tokens,
+           sum(CASE WHEN removed THEN n_tok ELSE 0 END)::BIGINT
+               AS tokens_removed
+    FROM j GROUP BY source
+)
+SELECT source, n_docs, n_removed, n_tokens, tokens_removed,
+       round(tokens_removed::DOUBLE / greatest(n_tokens, 1), 6) + 0.0
+           AS savings_frac
+FROM a ORDER BY source"""

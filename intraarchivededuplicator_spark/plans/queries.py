@@ -3937,3 +3937,53 @@ def q_signal_agreement(spark, sf_dir):
         .otherwise(F.round(F.col("n_common") / denom, 6) + F.lit(0.0))
         .alias("edge_jaccard"),
     )
+
+
+def q_source_dedup_savings(spark, sf_dir):
+    """Per-SOURCE dedup savings — the crawl-budget dashboard: for each
+    source, docs and tokens crawled vs removed by the dedup verdict
+    (keep-list reasons), with the token savings fraction. The domains
+    with high savings_frac are re-crawling mirrored/templated content;
+    this table is what a crawl scheduler deprioritizes from. Complements
+    source_quality_rollup (quality axis) and domain_dup_affinity (where
+    pairs live) with the COST axis.
+
+    Plan shape at 10^12 docs: everything the keep-list pays, one join
+    against the slim (doc_id, source, n_tok) projection, then ONE
+    partial-aggregated exchange keyed by source (bounded n_sources
+    output); the savings window never exists — fractions are computed
+    per-row on the bounded aggregate."""
+    kl = q_dedup_keep_list(spark, sf_dir).select("doc_id", "reason")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    removed = F.col("reason") != "kept"
+    agg = (
+        kl.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(removed.cast("long")).alias("n_removed"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(removed, F.col("n_tok")).otherwise(0)).alias(
+                "tokens_removed"
+            ),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        "n_tokens",
+        "tokens_removed",
+        (
+            F.round(
+                F.col("tokens_removed")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("savings_frac"),
+    )

@@ -342,3 +342,55 @@ def test_signal_agreement_composition(spark):
         denom = len(a | b)
         want = round(len(a & b) / denom, 6) if denom else 0.0
         assert math.isclose(r.edge_jaccard, want)
+
+
+# --- source_dedup_savings ---------------------------------------------------
+
+def test_source_dedup_savings_oracle(spark):
+    spdf = q.q_source_dedup_savings(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_source_dedup_savings(q.SIMHASH_RADIUS))
+    _strict_compare(spdf, opdf)
+
+
+def test_source_dedup_savings_composition(spark):
+    """Fold the gated keep-list with Python token counts per source; the
+    corpus-wide totals must also reconcile with token_yield_funnel."""
+    kl = {
+        r.doc_id: r.reason
+        for r in q.q_dedup_keep_list(spark, SF).toPandas().itertuples()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for doc_id, source, text in rows:
+        n = len([t for t in (text or "").split() if t])
+        w = want[source]
+        w[0] += 1
+        w[2] += n
+        if kl[doc_id] != "kept":
+            w[1] += 1
+            w[3] += n
+    spdf = q.q_source_dedup_savings(spark, SF).toPandas()
+    assert len(spdf) == len(want)
+    for r in spdf.itertuples():
+        d, rm, t, trm = want[r.source]
+        assert (r.n_docs, r.n_removed, r.n_tokens, r.tokens_removed) == (
+            d, rm, t, trm
+        )
+        assert math.isclose(r.savings_frac, round(trm / max(t, 1), 6))
+    # corpus totals reconcile with the funnel's near stage
+    fun = {
+        r.stage: r
+        for r in q.q_token_yield_funnel(spark, SF).toPandas().itertuples()
+    }
+    assert spdf.n_tokens.sum() == fun["0_raw"].n_tokens
+    assert (
+        spdf.n_tokens.sum() - spdf.tokens_removed.sum()
+        == fun["2_after_near"].n_tokens
+    )

@@ -43,22 +43,17 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from .charlm import CHARLM_Q, lp_table
-from .columns import tokens
+from .columns import md5_prefix_mod, tokens
 
 DSIR_B = 512  # hashed feature buckets (Xie et al. use 10^4 for bigrams;
               # 512 keeps the unigram profile well-populated at sf0.01)
 
 
 def dsir_bucket(tok: Column, n_buckets: int = DSIR_B) -> Column:
-    """Token -> feature bucket in [0, n_buckets): md5 hex-prefix mod B —
-    the same J11 hash discipline as q_shard_balance, reproduced verbatim
-    by the oracle ('0x' || substr(md5(tok), 1, 8))::BIGINT % B.  The
-    8-hex-digit prefix is non-negative (< 2^32), so % agrees across
-    engines without sign fixup."""
-    return (
-        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    """Token -> feature bucket in [0, n_buckets): the shared J11 md5
+    hex-prefix hash (columns.md5_prefix_mod; DuckDB twin
+    oracle.sql_md5_prefix_mod)."""
+    return md5_prefix_mod(tok, n_buckets)
 
 
 def dsir_weights(
@@ -104,9 +99,23 @@ def dsir_weights(
     )
     lp = lp_table(docs.sparkSession)
     q = CHARLM_Q
+    # guard the zero-total quotient BEFORE the clamp: with an EMPTY target
+    # slice t_t = 0 and the quotient is a divide-by-zero — an ANSI error
+    # in Spark 4 and a NULL in DuckDB, where null-ignoring greatest/least
+    # would silently quantize every bucket to the MAX level p_q = Q
+    # instead of the documented epsilon floor p_q = 1. The CASE pins
+    # empty-target semantics at the floor — every bucket lp_t =
+    # LP_MICRO[0] — in both engines (the oracle twin uses coalesce;
+    # pinned in tests/test_train_assembly.py::test_dsir_empty_target_floor).
+    # t_r needs no guard: a profile row exists only if some token does,
+    # so t_r >= c_r >= 1 on every row.
     lr = (
         prof.withColumn(
-            "p_q", F.expr(f"greatest(1L, least({q}L, (c_t * {q}) div t_t))")
+            "p_q",
+            F.expr(
+                f"greatest(1L, least({q}L, "
+                f"CASE WHEN t_t = 0 THEN 0L ELSE (c_t * {q}) div t_t END))"
+            ),
         )
         .join(F.broadcast(lp), "p_q")
         .withColumnRenamed("lp_micro", "lp_t")

@@ -20,6 +20,13 @@ from ..functions.hashing import MINHASH_PRIME, MinHashParams
 INT64_MIN_SQL = "(-9223372036854775807 - 1)"
 
 
+def sql_md5_prefix_mod(expr: str, mod: int) -> str:
+    """DuckDB twin of functions/columns.md5_prefix_mod: non-negative bucket
+    in [0, mod) from the first 8 md5 hex chars. One definition for the
+    shard / split / DSIR-bucket oracles."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT % {mod}"
+
+
 def sql_token_hash64(tok_expr: str) -> str:
     """Signed int64 from first 16 md5 hex chars of a token expression."""
     hi = f"('0x' || substr(md5({tok_expr}), 1, 1))::BIGINT"
@@ -1434,8 +1441,7 @@ def sql_shard_balance(n_shards: int, table: str = "documents") -> str:
     over the bounded aggregate."""
     return f"""
 WITH d AS (
-    SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {n_shards}
-               AS shard_id,
+    SELECT {sql_md5_prefix_mod('doc_id::VARCHAR', n_shards)} AS shard_id,
            len(string_split(text, ' '))::BIGINT AS n_tok,
            octet_length(encode(text))::BIGINT AS n_bytes
     FROM {table}
@@ -3136,29 +3142,25 @@ def sql_train_split_leakage(
 ) -> str:
     """Oracle for plans/queries.q_train_split_leakage: brute-force radius
     pairs classified by the md5(doc_id)-bucket train/valid/test membership
-    of their endpoints (the same hex-prefix hash discipline as
-    sql_shard_balance), folded to per-split-combination counts with a
-    cross_split flag and pair share."""
-    bl = ", ".join(str(b) for b in blacklist) or "NULL"
+    of their endpoints (the shared sql_md5_prefix_mod hash discipline),
+    folded to per-split-combination counts with a cross_split flag and
+    pair share. The pair set nests the gated sql_simhash_radius_pairs
+    oracle verbatim so the leakage surface cannot drift from the pair
+    surface it classifies."""
     return f"""
-WITH {cte_simhash(table)},
-sp AS (
+WITH sp AS (
     SELECT doc_id,
            CASE WHEN b < {train_hi} THEN 'train'
                 WHEN b = {train_hi} THEN 'valid'
                 ELSE 'test' END AS split
     FROM (
-        SELECT doc_id,
-               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                   % {split_mod} AS b
+        SELECT doc_id, {sql_md5_prefix_mod('doc_id::VARCHAR', split_mod)} AS b
         FROM {table}
     )
 ),
 p AS (
-    SELECT a.doc_id AS id_lo, b.doc_id AS id_hi
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
-      AND a.simhash NOT IN ({bl}) AND b.simhash NOT IN ({bl})
+    SELECT id_lo, id_hi
+    FROM ({sql_simhash_radius_pairs(radius, table, blacklist)})
 ),
 c AS (
     SELECT least(x.split, y.split) AS split_a,
@@ -3192,7 +3194,7 @@ def sql_dsir_weights(
 WITH lp(p_q, lp_micro) AS (VALUES {lp_values_sql()}),
 tok AS (
     SELECT d.doc_id, {target} AS is_t,
-           ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % {n_buckets} AS b
+           {sql_md5_prefix_mod('t.tok', n_buckets)} AS b
     FROM {table} d,
          unnest(list_filter(string_split_regex(d.text, '\s+'),
                             x -> x <> '')) AS t(tok)
@@ -3208,9 +3210,15 @@ bc AS (
 ),
 tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM bc),
 pq AS (
+    -- coalesce before the clamp: an empty target slice makes t_t = 0 and
+    -- 0 // 0 NULL, which greatest/least would SKIP (null-ignoring),
+    -- quantizing to the MAX level instead of the epsilon floor p_q = 1
+    -- (same guard as functions/dsir.dsir_weights)
     SELECT bc.b,
-           greatest(1, least({q}, (bc.c_t * {q}) // tot.t_t)) AS pq_t,
-           greatest(1, least({q}, (bc.c_r * {q}) // tot.t_r)) AS pq_r
+           greatest(1, least({q}, coalesce((bc.c_t * {q}) // tot.t_t, 0)))
+               AS pq_t,
+           greatest(1, least({q}, coalesce((bc.c_r * {q}) // tot.t_r, 0)))
+               AS pq_r
     FROM bc CROSS JOIN tot
 ),
 lr AS (

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
-from ..functions.columns import char_ngrams, hamming, tokens
+from ..functions.columns import char_ngrams, hamming, md5_prefix_mod, tokens
 from ..functions.hashing import MinHashParams
 from ..functions.udfs import make_min_shingle_udf, make_minhash_udf, simhash64_udf
 from ..operators.banded_join import banded_radius_search, banded_self_join
@@ -2199,11 +2199,7 @@ def q_shard_balance(spark, sf_dir):
         # and char counts understate CJK/emoji-heavy shards ~3x
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % N_SHARDS
-    )
+    shard = md5_prefix_mod(F.col("doc_id").cast("string"), N_SHARDS)
     agg = (
         d.select(shard.alias("shard_id"), "n_tok", "n_bytes")
         .groupBy("shard_id")
@@ -3699,11 +3695,7 @@ def _split_col(id_col):
     across engines, runs, and cluster sizes (the property that makes an
     eval split trustworthy at all: re-running the pipeline cannot migrate
     docs between train and test)."""
-    b = (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % SPLIT_MOD
-    )
+    b = md5_prefix_mod(id_col.cast("string"), SPLIT_MOD)
     return (
         F.when(b < SPLIT_TRAIN_HI, F.lit("train"))
         .when(b == SPLIT_TRAIN_HI, F.lit("valid"))

@@ -148,7 +148,13 @@ def _dsir_python(rows):
     t_r, t_t = sum(c_r.values()), sum(c_t.values())
     lr = {}
     for b in c_r:
-        pq_t = max(1, min(CHARLM_Q, (c_t.get(b, 0) * CHARLM_Q) // t_t))
+        # empty-target floor: engines coalesce the 0/0 quotient to 0, so
+        # the clamp lands on p_q = 1 (the epsilon floor)
+        pq_t = (
+            max(1, min(CHARLM_Q, (c_t.get(b, 0) * CHARLM_Q) // t_t))
+            if t_t
+            else 1
+        )
         pq_r = max(1, min(CHARLM_Q, (c_r[b] * CHARLM_Q) // t_r))
         lr[b] = LP_MICRO[pq_t - 1] - LP_MICRO[pq_r - 1]
     out = {}
@@ -190,20 +196,33 @@ def test_dsir_weights_separate_target_from_rest(spark):
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
 
 
-def test_dsir_python_div_matches_engines():
-    """Spark `div` truncates, DuckDB `//` floors: every quantization
-    numerator is non-negative by construction, where the two agree. Guard
-    the precondition the oracle docstring states."""
-    rows = _docs()
-    from collections import Counter
+def test_dsir_empty_target_floor(spark):
+    """An EMPTY target slice must quantize every bucket's target
+    probability to the epsilon FLOOR (p_q = 1), not the max level: the
+    0/0 quotient is NULL and null-ignoring greatest/least would
+    otherwise clamp to Q. Engine, oracle, and the Python pin must agree
+    on the floor semantics."""
+    from pyspark.sql import functions as F
 
-    c_r = Counter()
-    for _, text, _ in rows:
-        for t in (text or "").split():
-            if t:
-                c_r[_md5_prefix_mod(t, DSIR_B)] += 1
-    assert all(v >= 0 for v in c_r.values())
-    assert all(0 <= b < DSIR_B for b in c_r)
+    from intraarchivededuplicator_spark.functions.dsir import dsir_weights
+
+    rows = _docs()
+    # Python recompute with the floor rule: lang None matches nothing
+    want = _dsir_python([(d, t, None) for d, t, _ in rows])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spdf = dsir_weights(docs, F.lit(False)).toPandas()
+    got = {r.doc_id: (r.n_tok, r.dsir_micro) for r in spdf.itertuples()}
+    assert got == want
+    # lp_t sits at the floor (most negative level), so every bucket's
+    # log-ratio is <= 0 (zero only where p_raw also floors) and no doc
+    # can score positive against an empty target
+    assert all(w <= 0 for _, w in want.values())
+    assert any(w < 0 for _, w in want.values())
+    # oracle twin with a never-true target agrees
+    opdf = _oracle_df(o.sql_dsir_weights(DSIR_B, target="FALSE"))
+    _strict_compare(spdf, opdf)
 
 
 # --- token_yield_funnel -----------------------------------------------------
@@ -318,8 +337,6 @@ def test_signal_agreement_composition(spark):
         (r.id_lo, r.id_hi)
         for r in q.q_minhash_band_pairs(spark, SF).toPandas().itertuples()
     }
-    import duckdb
-
     con = duckdb.connect()
     ex = {
         (a, b)
@@ -359,8 +376,6 @@ def test_source_dedup_savings_composition(spark):
         r.doc_id: r.reason
         for r in q.q_dedup_keep_list(spark, SF).toPandas().itertuples()
     }
-    import duckdb
-
     con = duckdb.connect()
     rows = con.sql(
         f"SELECT doc_id, source, text FROM '{SF}/documents.parquet'"

@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_best_rep": q.q_cluster_best_rep,
         "signal_agreement": q.q_signal_agreement,
         "source_dedup_savings": q.q_source_dedup_savings,
+        "kmv_cardinality": q.q_kmv_cardinality,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -373,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
             n_bands=4, rows_per_band=4,
         ),
         "source_dedup_savings": o.sql_source_dedup_savings(SIMHASH_RADIUS),
+        "kmv_cardinality": o.sql_kmv_cardinality(q.KMV_K, K_SHINGLE),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

@@ -3395,3 +3395,37 @@ SELECT source, n_docs, n_removed, n_tokens, tokens_removed,
        round(tokens_removed::DOUBLE / greatest(n_tokens, 1), 6) + 0.0
            AS savings_frac
 FROM a ORDER BY source"""
+
+
+def sql_kmv_cardinality(k: int, k_shingle: int, table: str = "documents") -> str:
+    """Oracle for plans/queries.q_kmv_cardinality: same shingling
+    (cte_shingles), same unsigned 32-bit hash (sql_shingle_hash32), same
+    row_number k-minimum stage and estimator arithmetic — the double
+    division of exact integers is IEEE-identical across engines."""
+    m = float(4294967296)
+    return f"""
+WITH {cte_shingles(k_shingle, table)},
+src AS (
+    SELECT DISTINCT d.source, {sql_shingle_hash32('sh.s')} AS h
+    FROM shing sh JOIN {table} d ON sh.doc_id = d.doc_id
+),
+ex AS (SELECT source, count(*)::BIGINT AS exact_distinct FROM src GROUP BY source),
+rk AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM src
+),
+ks AS (
+    SELECT source, count(*)::BIGINT AS n_min, max(h)::BIGINT AS h_k
+    FROM rk WHERE rn <= {k} GROUP BY source
+),
+j AS (
+    SELECT e.source, e.exact_distinct,
+           CASE WHEN ks.n_min < {k} THEN e.exact_distinct::DOUBLE
+                ELSE ({k} - 1) * {m} / greatest(ks.h_k, 1) END AS est
+    FROM ex e JOIN ks ON e.source = ks.source
+)
+SELECT source, exact_distinct,
+       round(est, 6) + 0.0 AS kmv_estimate,
+       round(abs(est - exact_distinct) / exact_distinct, 6) + 0.0 AS rel_error
+FROM j ORDER BY source"""

@@ -16,7 +16,13 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
-from ..functions.columns import char_ngrams, hamming, md5_prefix_mod, tokens
+from ..functions.columns import (
+    char_ngrams,
+    hamming,
+    md5_prefix_mod,
+    token_shingles,
+    tokens,
+)
 from ..functions.hashing import MinHashParams
 from ..functions.udfs import make_min_shingle_udf, make_minhash_udf, simhash64_udf
 from ..operators.banded_join import banded_radius_search, banded_self_join
@@ -3978,4 +3984,69 @@ def q_source_dedup_savings(spark, sf_dir):
             )
             + F.lit(0.0)
         ).alias("savings_frac"),
+    )
+
+
+KMV_K = 64  # k-minimum-values sketch size (distinct-cardinality estimator)
+
+
+def q_kmv_cardinality(spark, sf_dir, k: int = KMV_K):
+    """KMV (k-minimum-values) distinct-cardinality sketch AUDIT — the
+    third sketch family next to Bloom (membership) and MinHash
+    (similarity): per source, the exact distinct k-shingle count vs the
+    KMV estimate (k-1) * 2^32 / h_(k) from the k smallest distinct
+    shingle hashes, with relative error. The estimator is what a crawl
+    planner uses to size per-domain novelty at 10^12 docs without paying
+    countDistinct; the audit table proves its error envelope on this
+    corpus. Sources where every doc is shorter than the shingle width
+    emit no row (no shingles — both engines agree).
+
+    Plan shape at 10^12 docs: shingle explode -> distinct (source, hash)
+    (one exchange, the same key the exact count needs anyway) -> the
+    k-smallest stage is row_number <= k over (source ORDER BY h), which
+    plans as a PARTIAL WindowGroupLimit below the exchange (the
+    domain_quota_topk discipline): each map task forwards at most k rows
+    per source, so the rank exchange carries O(k x sources) rows — the
+    sketch IS the shuffle bound. The exact-count leg is the audit's
+    truth column, not the production path."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    # unsigned 32-bit shingle hash, sql_shingle_hash32 parity (md5 hex
+    # prefix; non-negative < 2^32 so integer compares agree)
+    sh = d.select(
+        "source",
+        F.explode(token_shingles(tokens(F.col("text")), K_SHINGLE)).alias("s"),
+    ).select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    exact = sh.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    w = Window.partitionBy("source").orderBy("h")
+    ks = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_min"), F.max("h").alias("h_k"))
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 4294967296)) / F.greatest(F.col("h_k"), F.lit(1))
+    )
+    return (
+        exact.join(ks, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            (F.round(est, 6) + F.lit(0.0)).alias("kmv_estimate"),
+            (
+                F.round(
+                    F.abs(est - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rel_error"),
+        )
     )

@@ -409,3 +409,62 @@ def test_source_dedup_savings_composition(spark):
         spdf.n_tokens.sum() - spdf.tokens_removed.sum()
         == fun["2_after_near"].n_tokens
     )
+
+
+# --- kmv_cardinality --------------------------------------------------------
+
+def test_kmv_cardinality_oracle(spark):
+    spdf = q.q_kmv_cardinality(spark, SF).toPandas()
+    opdf = _oracle_df(o.sql_kmv_cardinality(q.KMV_K, q.K_SHINGLE))
+    _strict_compare(spdf, opdf)
+
+
+def test_kmv_cardinality_first_principles(spark):
+    """Recompute per-source distinct shingle hashes and the KMV estimator
+    from hashlib md5 alone; exact columns must match and the estimator
+    must use the k-th smallest distinct hash."""
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    hs = defaultdict(set)
+    k_sh = q.K_SHINGLE
+    for source, text in rows:
+        toks = [t for t in (text or "").split() if t]
+        for i in range(len(toks) - k_sh + 1):
+            s = " ".join(toks[i : i + k_sh])
+            hs[source].add(
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+            )
+    spdf = q.q_kmv_cardinality(spark, SF).toPandas()
+    assert set(spdf.source) == {s for s, v in hs.items() if v}
+    for r in spdf.itertuples():
+        vals = sorted(hs[r.source])
+        assert r.exact_distinct == len(vals)
+        if len(vals) >= q.KMV_K:
+            hk = vals[q.KMV_K - 1]
+            est = (q.KMV_K - 1) * 4294967296.0 / max(hk, 1)
+        else:
+            est = float(len(vals))
+        assert math.isclose(r.kmv_estimate, round(est, 6))
+        assert math.isclose(
+            r.rel_error, round(abs(est - len(vals)) / len(vals), 6)
+        )
+        # the estimator regime should be informative on this corpus
+        assert r.rel_error < 0.5
+
+
+def test_kmv_topk_plan_is_partial(spark):
+    """The k-minimum stage must plan as a WindowGroupLimit below the
+    exchange (the domain_quota_topk discipline) so the rank shuffle
+    carries O(k x sources) rows at any corpus size."""
+    plan = (
+        q.q_kmv_cardinality(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Partial") >= 1

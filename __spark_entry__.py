@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signal_agreement": q.q_signal_agreement,
         "source_dedup_savings": q.q_source_dedup_savings,
         "kmv_cardinality": q.q_kmv_cardinality,
+        "stream_embedding_near_dup_replay": q.q_stream_embedding_near_dup_replay,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -375,6 +376,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_dedup_savings": o.sql_source_dedup_savings(SIMHASH_RADIUS),
         "kmv_cardinality": o.sql_kmv_cardinality(q.KMV_K, K_SHINGLE),
+        "stream_embedding_near_dup_replay": o.sql_stream_embedding_near_pairs(
+            EMB_DIM, EMB_SCALE, q.EMB_STREAM_RADIUS, q.NEAR_HORIZON_SEC,
+            n_bands=q.EMB_STREAM_BANDS,
+        ),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),
         "media_near_dup_pairs_ivf": o.sql_media_near_dup_pairs(3),

@@ -3429,3 +3429,28 @@ SELECT source, exact_distinct,
        round(est, 6) + 0.0 AS kmv_estimate,
        round(abs(est - exact_distinct) / exact_distinct, 6) + 0.0 AS rel_error
 FROM j ORDER BY source"""
+
+
+def sql_stream_embedding_near_pairs(
+    dim: int,
+    scale: int,
+    radius: int,
+    horizon_sec: int,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for plans/queries.q_stream_embedding_near_dup_replay: brute
+    force over the SQL-recomputed hyperplane signatures (the sigs CTE of
+    _cte_hyperplane_lsh — bit-identical fixed-point constants), Hamming
+    <= radius, event-time delta <= horizon (vec_id * 61 s). Valid because
+    the stream runs n_bands > radius: pigeonhole makes the banded state
+    operator's recall exact, so candidacy does not enter the spec."""
+    return f"""
+WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)}
+SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+       bit_count(xor(a.sig, b.sig))::INT AS distance,
+       (greatest(a.vec_id, b.vec_id) * 61)::BIGINT AS pair_ts_sec
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {radius}
+  AND abs(a.vec_id - b.vec_id) * 61 <= {horizon_sec}
+ORDER BY id_lo, id_hi"""

@@ -4050,3 +4050,65 @@ def q_kmv_cardinality(spark, sf_dir, k: int = KMV_K):
             ).alias("rel_error"),
         )
     )
+
+
+EMB_STREAM_RADIUS = 15     # hyperplane Hamming radius for the vector stream:
+                           # the synthetic clusters' nearest non-identical
+                           # neighbors sit at sig distance 13-16, so 15 yields
+                           # a non-trivial gated pair set at both SFs (19 rows
+                           # at sf0.01, 87 at sf0.1)
+EMB_STREAM_BANDS = 16      # > radius: pigeonhole-complete recall (4-bit bands)
+
+
+def q_stream_embedding_near_dup_replay(spark, sf_dir):
+    """STREAMING SEMANTIC near-dedup under the hash gate — the embedding
+    twin of q_stream_near_dedup_replay: the embeddings table becomes a
+    vector landing zone (url = zero-padded vec_id; event time
+    vec_id * 61 s + the 86400 s initial-watermark shift), a real
+    availableNow Structured Streaming query runs
+    stream_embedding_near_pairs (the hyperplane-LSH signature kernel
+    through the SAME applyInPandasWithState banded core as text), and the
+    sink maps back to vec_ids. With n_bands > radius the emitted set is
+    pigeonhole-exactly the Hamming-radius pairs within the horizon, so
+    the DuckDB oracle is brute force over SQL-recomputed hyperplane
+    signatures — hash-exact, not recall-statistical."""
+    import tempfile
+
+    from ..streaming.near_dedup_stream import stream_embedding_near_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("url"),
+        F.timestamp_seconds(F.col("vec_id") * 61 + 86400).alias("warc_ts"),
+        "embedding",
+    )
+    landing = tempfile.mkdtemp(prefix="sev_land_")
+    out_dir = tempfile.mkdtemp(prefix="sev_out_")
+    ckpt = tempfile.mkdtemp(prefix="sev_ckpt_")
+    vecs.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, embedding array<float>"
+    ).parquet(landing)
+    q = (
+        stream_embedding_near_pairs(
+            stream,
+            dim=EMB_DIM,
+            radius=EMB_STREAM_RADIUS,
+            n_bands=EMB_STREAM_BANDS,
+            watermark="48 hours",
+            horizon=f"{NEAR_HORIZON_SEC} seconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("url_lo").cast("long").alias("id_lo"),
+        F.col("url_hi").cast("long").alias("id_hi"),
+        F.col("distance").cast("int").alias("distance"),
+        (F.col("pair_ts").cast("long") - 86400).alias("pair_ts_sec"),
+    )

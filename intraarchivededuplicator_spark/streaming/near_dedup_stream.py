@@ -217,8 +217,6 @@ def stream_simhash_near_pairs(
     """
     radius = cfg.simhash_radius if radius is None else radius
     n_bands = n_bands or bands_for_radius(radius)
-    if n_bands <= radius:
-        raise ValueError(f"need n_bands > radius for full recall ({n_bands} <= {radius})")
     horizon_ms = duration_ms(horizon or watermark)
 
     if extract:
@@ -230,8 +228,27 @@ def stream_simhash_near_pairs(
         pages.select("url", "warc_ts", sig_udf(F.col("text")).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .filter(~F.col("sig").isin(list(cfg.blacklist)))
-        .withWatermark("warc_ts", watermark)
     )
+    return stream_sig_near_pairs(docs, radius, n_bands, watermark, horizon_ms, hot_cap)
+
+
+def stream_sig_near_pairs(
+    docs: DataFrame,
+    radius: int,
+    n_bands: int,
+    watermark: str,
+    horizon_ms: int,
+    hot_cap: int = 4096,
+) -> DataFrame:
+    """Signature-generic stateful core: (url, warc_ts, sig:int64) stream ->
+    exactly-once verified Hamming pairs within the event-time horizon.
+    The caller owns signature computation and degenerate filtering; any
+    64-bit LSH signature rides the same banded state layout (text SimHash
+    via stream_simhash_near_pairs, hyperplane vector LSH via
+    stream_embedding_near_pairs)."""
+    if n_bands <= radius:
+        raise ValueError(f"need n_bands > radius for full recall ({n_bands} <= {radius})")
+    docs = docs.withWatermark("warc_ts", watermark)
     bands = explode_bands(docs, "url", "sig", n_bands, keep=["warc_ts"]).select(
         "band_id",
         "band_key",
@@ -248,6 +265,44 @@ def stream_simhash_near_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_embedding_near_pairs(
+    vecs: DataFrame,
+    dim: int,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    vec_col: str = "embedding",
+    radius: int = 6,
+    n_bands: int = 8,
+    watermark: str = "24 hours",
+    horizon: str | None = None,
+    hot_cap: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """STREAMING SEMANTIC near-dedup: hyperplane-LSH signatures
+    (operators/ann.make_hyperplane_udf — the exact int64 fixed-point
+    kernel, bit-identical to the batch ANN path) over an unbounded vector
+    stream, through the SAME banded stateful core as text near-dedup.
+    With n_bands > radius the pigeonhole guarantee holds, so the emitted
+    pair set is EXACTLY the Hamming-radius pairs within the horizon —
+    gate-checkable against brute force over SQL-recomputed signatures,
+    not recall-statistical. Null/empty/wrong-dim vectors sign to no
+    usable signature and are dropped by the caller contract (same as the
+    batch ANN family's null filter)."""
+    from ..operators.ann import make_hyperplane_udf
+
+    sig_udf = make_hyperplane_udf(dim, seed=seed)
+    docs = (
+        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col).alias("url"),
+            F.col(ts_col).alias("warc_ts"),
+            sig_udf(F.col(vec_col).cast("array<double>")).alias("sig"),
+        )
+    )
+    horizon_ms = duration_ms(horizon or watermark)
+    return stream_sig_near_pairs(docs, radius, n_bands, watermark, horizon_ms, hot_cap)
 
 
 def near_pairs_within_horizon(

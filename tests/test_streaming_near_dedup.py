@@ -97,7 +97,7 @@ class TestKernels:
         want = [hamming64(int(x), int(y)) for x, y in zip(a, b)]
         assert got.tolist() == want
 
-    @pytest.mark.parametrize("n_bands", [1, 3, 5, 8])
+    @pytest.mark.parametrize("n_bands", [1, 3, 5, 8, 16])
     def test_band_keys_np_matches_spark_expression(self, spark, n_bands):
         from intraarchivededuplicator_spark.functions.columns import band_keys_array
 
@@ -261,3 +261,116 @@ class TestStreamingNearDedup:
             (u + "h1", u + "h2"), (u + "h1", u + "h3"), (u + "h2", u + "h3"),
             (u + "h2", u + "h4"), (u + "h3", u + "h4"),
         }
+
+
+class TestStreamingEmbeddingNearDedup:
+    """The hyperplane-LSH vector stream through the same stateful core:
+    multi-batch replay must emit exactly the Hamming-radius pairs within
+    the horizon, recomputed brute-force in Python from the batch
+    signature kernel (no engine pair code)."""
+
+    RADIUS = 15
+    N_BANDS = 16
+    HORIZON_S = 14_400
+
+    def _sigs(self, spark, emb_rows):
+        from intraarchivededuplicator_spark.operators.ann import (
+            make_hyperplane_udf,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<float>"
+        )
+        sig_udf = make_hyperplane_udf(64)
+        return {
+            r.vec_id: r.sig
+            for r in df.select(
+                "vec_id",
+                sig_udf(F.col("embedding").cast("array<double>")).alias("sig"),
+            ).collect()
+        }
+
+    def test_embedding_stream_matches_brute_force(self, spark, tmp_path):
+        import duckdb
+
+        from intraarchivededuplicator_spark.streaming.near_dedup_stream import (
+            stream_embedding_near_pairs,
+        )
+
+        con = duckdb.connect()
+        emb_rows = con.sql(
+            "SELECT vec_id, embedding FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        sigs = self._sigs(spark, emb_rows)
+
+        # brute-force truth: radius + horizon over the batch kernel's sigs
+        want = set()
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if (
+                    hamming64(sigs[a], sigs[b]) <= self.RADIUS
+                    and abs(a - b) * 61 <= self.HORIZON_S
+                ):
+                    want.add((a, b))
+        assert want, "fixture must exercise the radius"
+
+        # replay as 4 ordered micro-batches (state must carry across)
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        t = 1_700_000_000
+        n = len(emb_rows)
+        for i in range(4):
+            chunk = emb_rows[i * n // 4 : (i + 1) * n // 4]
+            rows = [
+                (
+                    f"{vid:06d}",
+                    dt.datetime.fromtimestamp(vid * 61 + 86_400, dt.timezone.utc),
+                    vec,
+                )
+                for vid, vec in chunk
+            ]
+            part = str(tmp_path / f"e{i}")
+            spark.createDataFrame(
+                rows, "url string, warc_ts timestamp, embedding array<float>"
+            ).coalesce(1).write.parquet(part)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(landing, f"batch{i}.parquet")
+                    os.rename(os.path.join(part, f), dst)
+                    os.utime(dst, (t + i, t + i))
+
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = stream_embedding_near_pairs(
+            stream,
+            dim=64,
+            radius=self.RADIUS,
+            n_bands=self.N_BANDS,
+            watermark="48 hours",
+            horizon=f"{self.HORIZON_S} seconds",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("emb_stream_pairs")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_emb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("emb_stream_pairs").collect()
+        got = {(int(r.url_lo), int(r.url_hi)) for r in rows}
+        assert got == want
+        assert len(rows) == len(got), "exactly-once emission violated"
+        for r in rows:
+            assert hamming64(
+                sigs[int(r.url_lo)], sigs[int(r.url_hi)]
+            ) == r.distance

@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dedup_savings": q.q_source_dedup_savings,
         "kmv_cardinality": q.q_kmv_cardinality,
         "stream_embedding_near_dup_replay": q.q_stream_embedding_near_dup_replay,
+        "incremental_embedding_near_pairs": q.q_incremental_embedding_near_pairs,
         # multimodal decode (SURVEY 2.10)
         "media_decode_dims": q.q_media_decode_dims,
         "media_near_dup_pairs": q.q_media_near_dup_pairs,
@@ -379,6 +380,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_embedding_near_dup_replay": o.sql_stream_embedding_near_pairs(
             EMB_DIM, EMB_SCALE, q.EMB_STREAM_RADIUS, q.NEAR_HORIZON_SEC,
             n_bands=q.EMB_STREAM_BANDS,
+        ),
+        "incremental_embedding_near_pairs": o.sql_incremental_embedding_near_pairs(
+            EMB_DIM, EMB_SCALE, q.EMB_STREAM_RADIUS, q.INCR_NEW_MOD,
         ),
         "media_decode_dims": o.sql_media_decode_dims(),
         "media_near_dup_pairs": o.sql_media_near_dup_pairs(3),

@@ -3454,3 +3454,26 @@ FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
 WHERE bit_count(xor(a.sig, b.sig)) <= {radius}
   AND abs(a.vec_id - b.vec_id) * 61 <= {horizon_sec}
 ORDER BY id_lo, id_hi"""
+
+
+def sql_incremental_embedding_near_pairs(
+    dim: int,
+    scale: int,
+    radius: int,
+    new_mod: int,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for plans/queries.q_incremental_embedding_near_pairs: the
+    full brute-force hyperplane-signature radius-pair set restricted to
+    pairs with at least one side in the new batch (vec_id % new_mod == 0)
+    — the engine's two banded legs must together reproduce exactly this
+    restriction (pigeonhole recall 1.0 at n_bands > radius)."""
+    return f"""
+WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)}
+SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+       bit_count(xor(a.sig, b.sig))::INT AS distance
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {radius}
+  AND (a.vec_id % {new_mod} = 0 OR b.vec_id % {new_mod} = 0)
+ORDER BY id_lo, id_hi"""

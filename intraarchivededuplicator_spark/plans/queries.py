@@ -4112,3 +4112,48 @@ def q_stream_embedding_near_dup_replay(spark, sf_dir):
         F.col("distance").cast("int").alias("distance"),
         (F.col("pair_ts").cast("long") - 86400).alias("pair_ts_sec"),
     )
+
+
+def q_incremental_embedding_near_pairs(spark, sf_dir):
+    """Batch-increment SEMANTIC near-dedup — the embedding twin of
+    q_incremental_near_pairs: only hyperplane-signature pairs TOUCHING
+    the new vector batch (vec_id % INCR_NEW_MOD == 0) are computed, via
+    the same two legs (new-vs-resident banded_radius_search + within-batch
+    banded self-join) over the exact int64 hyperplane kernel. With
+    bands_for_radius(15) = 16 > radius the pigeonhole guarantee holds, so
+    the union is EXACTLY the brute-force radius pairs restricted to
+    batch-touching — hash-exact against the SQL-recomputed signatures.
+    Incremental cost scales with |new|, not |corpus|^2: the daily
+    embedding-index update a 10^12-vector dedup service runs."""
+    from ..operators.ann import make_hyperplane_udf
+
+    sig_udf = make_hyperplane_udf(EMB_DIM)
+    d = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            "vec_id",
+            sig_udf(F.col("embedding").cast("array<double>")).alias("sig"),
+        )
+    )
+    is_new = (F.col("vec_id") % INCR_NEW_MOD) == 0
+    old, new = d.filter(~is_new), d.filter(is_new)
+    cross = banded_radius_search(
+        old,
+        new,
+        EMB_STREAM_RADIUS,
+        corpus_id="vec_id",
+        corpus_sig="sig",
+        query_id="vec_id",
+        query_sig="sig",
+    ).select(
+        F.least("q_id", "match_id").alias("id_lo"),
+        F.greatest("q_id", "match_id").alias("id_hi"),
+        "distance",
+    )
+    within = banded_self_join(new, "vec_id", "sig", EMB_STREAM_RADIUS).select(
+        "id_lo", "id_hi", "distance"
+    )
+    return cross.unionByName(within).select(
+        "id_lo", "id_hi", F.col("distance").cast("int").alias("distance")
+    )

@@ -468,3 +468,60 @@ def test_kmv_topk_plan_is_partial(spark):
     )
     assert "WindowGroupLimit" in plan
     assert plan.count("Partial") >= 1
+
+
+# --- incremental_embedding_near_pairs ---------------------------------------
+
+def _oracle_df_emb(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def test_incremental_embedding_near_pairs_oracle(spark):
+    spdf = q.q_incremental_embedding_near_pairs(spark, SF).toPandas()
+    opdf = _oracle_df_emb(
+        o.sql_incremental_embedding_near_pairs(
+            q.EMB_DIM, q.EMB_SCALE, q.EMB_STREAM_RADIUS, q.INCR_NEW_MOD
+        )
+    )
+    _strict_compare(spdf, opdf)
+
+
+def test_incremental_embedding_two_legs_match_full_restriction(spark):
+    """The cross + within legs must reproduce the FULL banded self-join's
+    pair set restricted to batch-touching pairs — the incremental
+    contract (no pair lost at the old/new boundary, none double-emitted)."""
+    from pyspark.sql import functions as F
+
+    from intraarchivededuplicator_spark.operators.ann import (
+        make_hyperplane_udf,
+    )
+    from intraarchivededuplicator_spark.operators.banded_join import (
+        banded_self_join,
+    )
+
+    sig_udf = make_hyperplane_udf(q.EMB_DIM)
+    d = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            sig_udf(F.col("embedding").cast("array<double>")).alias("sig"),
+        )
+    )
+    full = banded_self_join(
+        d, "vec_id", "sig", q.EMB_STREAM_RADIUS
+    ).collect()
+    want = {
+        (r.id_lo, r.id_hi, r.distance)
+        for r in full
+        if r.id_lo % q.INCR_NEW_MOD == 0 or r.id_hi % q.INCR_NEW_MOD == 0
+    }
+    got = {
+        (r.id_lo, r.id_hi, r.distance)
+        for r in q.q_incremental_embedding_near_pairs(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce batch-touching pairs"

@@ -379,7 +379,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_cardinality": o.sql_kmv_cardinality(q.KMV_K, K_SHINGLE),
         "stream_embedding_near_dup_replay": o.sql_stream_embedding_near_pairs(
             EMB_DIM, EMB_SCALE, q.EMB_STREAM_RADIUS, q.NEAR_HORIZON_SEC,
-            n_bands=q.EMB_STREAM_BANDS,
         ),
         "incremental_embedding_near_pairs": o.sql_incremental_embedding_near_pairs(
             EMB_DIM, EMB_SCALE, q.EMB_STREAM_RADIUS, q.INCR_NEW_MOD,

@@ -77,6 +77,13 @@ HEADLINE = [
     "dsir_weights",
     "token_yield_funnel",
     "cluster_best_rep",
+    # second-wave additions (matched-37 = the rows above): agreement matrix,
+    # per-source savings, KMV sketch audit, incremental semantic dedup
+    # (streaming replays stay out of the headline, as always)
+    "signal_agreement",
+    "source_dedup_savings",
+    "kmv_cardinality",
+    "incremental_embedding_near_pairs",
 ]
 
 

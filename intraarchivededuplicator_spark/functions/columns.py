@@ -62,17 +62,22 @@ def band_keys_array(sig: Column | str, n_bands: int) -> Column:
     return F.array(*keys)
 
 
+def md5_prefix32(col: Column) -> Column:
+    """Unsigned 32-bit value from the first 8 md5 hex chars — the shared
+    deterministic-hash primitive (hashing.shingle_hash32's column twin;
+    DuckDB twin oracle.sql_shingle_hash32). Non-negative < 2^32, so both
+    ordering and modulo agree across engines without sign fixup."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def md5_prefix_mod(col: Column, mod: int) -> Column:
-    """Non-negative bucket in [0, mod) from the first 8 md5 hex chars — the
-    J11 deterministic-hash discipline shared by shard assignment
+    """Non-negative bucket in [0, mod) from md5_prefix32 — the J11
+    deterministic-hash discipline shared by shard assignment
     (q_shard_balance), train/valid/test splitting (_split_col) and DSIR
     feature bucketing (dsir_bucket). One definition so the prefix width
     can never drift between surfaces; the DuckDB twin is
-    oracle.sql_md5_prefix_mod. The 8-hex prefix is < 2^32, so % agrees
-    across engines without sign fixup."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % mod
-    )
+    oracle.sql_md5_prefix_mod."""
+    return md5_prefix32(col) % mod
 
 
 def tokens(text: Column | str) -> Column:

@@ -155,9 +155,12 @@ def ann_topk(
         F.col(id_col).alias("_aid"),
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
-        # null/empty vectors are absent from the SQL oracle (unnest emits no
-        # rows) — drop them here too so both engines agree (ivf.py ditto)
-    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") > 0))
+        # eligibility contract: EXACTLY dim elements. Null/empty vectors are
+        # absent from the SQL oracle (unnest emits no rows); a WRONG-dim
+        # vector would sign to the masked 0 in the kernel while the oracle
+        # computed a partial-dot signature — so both engines exclude it
+        # outright (the oracle's ev CTE carries the same len = dim gate)
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
     # cand feeds THREE subtrees (both directions + the two vector
     # prefilters); without a persist the band join + Hamming verify re-run
     # per consumer — exchange reuse dedupes the shuffle but not the join.
@@ -229,9 +232,8 @@ def ann_near_pairs(
         F.col(id_col).alias("_aid"),
         scaled_vec(F.col(vec_col)).alias("_vec"),
         sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
-        # null/empty vectors are absent from the SQL oracle (unnest emits no
-        # rows) — drop them here too so both engines agree (ivf.py ditto)
-    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") > 0))
+        # eligibility contract: EXACTLY dim elements (see ann_topk)
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
     # three consumers, same rationale as ann_topk's persist
     cand = banded_self_join(
         sigged,

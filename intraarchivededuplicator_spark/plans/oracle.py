@@ -1843,8 +1843,13 @@ def _cte_hyperplane_lsh(
     bw = n_planes // n_bands
     return f"""
 ev AS (
+    -- eligibility gate: EXACTLY dim elements. The engine excludes
+    -- wrong-dim vectors outright (the kernel would mask them to sig 0
+    -- while a partial-dot SQL signature would be nonzero); len = dim
+    -- here keeps the two element sets identical by construction.
     SELECT vec_id, i, round(embedding[i]::DOUBLE * {scale})::BIGINT AS v
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS r(i)
+    WHERE len(embedding) = {dim}
 ),
 norms AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM ev GROUP BY vec_id),
 planes (p, j, c) AS (VALUES {vals}),
@@ -3436,7 +3441,6 @@ def sql_stream_embedding_near_pairs(
     scale: int,
     radius: int,
     horizon_sec: int,
-    n_bands: int = 8,
     seed: int = 42,
 ) -> str:
     """Oracle for plans/queries.q_stream_embedding_near_dup_replay: brute
@@ -3444,9 +3448,11 @@ def sql_stream_embedding_near_pairs(
     _cte_hyperplane_lsh — bit-identical fixed-point constants), Hamming
     <= radius, event-time delta <= horizon (vec_id * 61 s). Valid because
     the stream runs n_bands > radius: pigeonhole makes the banded state
-    operator's recall exact, so candidacy does not enter the spec."""
+    operator's recall exact, so candidacy does not enter the spec — the
+    CTE's bands output is deliberately unused, hence no n_bands
+    parameter here (it cannot affect the result)."""
     return f"""
-WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)}
+WITH {_cte_hyperplane_lsh(dim, scale, seed=seed)}
 SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
        bit_count(xor(a.sig, b.sig))::INT AS distance,
        (greatest(a.vec_id, b.vec_id) * 61)::BIGINT AS pair_ts_sec
@@ -3461,16 +3467,17 @@ def sql_incremental_embedding_near_pairs(
     scale: int,
     radius: int,
     new_mod: int,
-    n_bands: int = 8,
     seed: int = 42,
 ) -> str:
     """Oracle for plans/queries.q_incremental_embedding_near_pairs: the
     full brute-force hyperplane-signature radius-pair set restricted to
     pairs with at least one side in the new batch (vec_id % new_mod == 0)
     — the engine's two banded legs must together reproduce exactly this
-    restriction (pigeonhole recall 1.0 at n_bands > radius)."""
+    restriction (pigeonhole recall 1.0 at n_bands > radius). Brute force
+    reads only the sigs CTE, so no n_bands parameter (it cannot affect
+    the result)."""
     return f"""
-WITH {_cte_hyperplane_lsh(dim, scale, n_bands=n_bands, seed=seed)}
+WITH {_cte_hyperplane_lsh(dim, scale, seed=seed)}
 SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
        bit_count(xor(a.sig, b.sig))::INT AS distance
 FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id

@@ -19,6 +19,7 @@ from ..config import DedupConfig
 from ..functions.columns import (
     char_ngrams,
     hamming,
+    md5_prefix32,
     md5_prefix_mod,
     token_shingles,
     tokens,
@@ -3080,7 +3081,10 @@ def q_stream_near_dedup_replay(spark, sf_dir):
     # would silently vanish); the shift cancels in every horizon delta and is
     # subtracted from pair_ts on the way out.
     pages = d.select(
-        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
+        # width 12: F.lpad TRUNCATES longer inputs, so a 6-char pad would
+        # silently corrupt ids at >= 10^6 docs; 12 digits covers the
+        # design scale and keeps lexicographic == numeric order
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
         F.timestamp_seconds(F.col("doc_id") * 61 + 86400).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         "text",
@@ -3107,11 +3111,26 @@ def q_stream_near_dedup_replay(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    return _drain_replay_sink(spark, out_dir, (landing, out_dir, ckpt))
+
+
+def _drain_replay_sink(spark, out_dir, tmp_dirs):
+    """Materialize a replay sink (bounded: the gated pair set) and delete
+    the scratch dirs — the sink, landing copy, and checkpoint would
+    otherwise leak a corpus-sized parquet per invocation across the
+    repeated gate/bench sweeps."""
+    import shutil
+
+    rows = spark.read.parquet(out_dir).select(
         F.col("url_lo").cast("long").alias("id_lo"),
         F.col("url_hi").cast("long").alias("id_hi"),
         F.col("distance").cast("int").alias("distance"),
         (F.col("pair_ts").cast("long") - 86400).alias("pair_ts_sec"),
+    ).collect()
+    for p in tmp_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id_lo long, id_hi long, distance int, pair_ts_sec long"
     )
 
 
@@ -4010,17 +4029,12 @@ def q_kmv_cardinality(spark, sf_dir, k: int = KMV_K):
     sketch IS the shuffle bound. The exact-count leg is the audit's
     truth column, not the production path."""
     d = load(spark, sf_dir, "documents").select("source", "text")
-    # unsigned 32-bit shingle hash, sql_shingle_hash32 parity (md5 hex
-    # prefix; non-negative < 2^32 so integer compares agree)
+    # unsigned 32-bit shingle hash — the shared md5_prefix32 primitive
+    # (sql_shingle_hash32 parity; non-negative so integer compares agree)
     sh = d.select(
         "source",
         F.explode(token_shingles(tokens(F.col("text")), K_SHINGLE)).alias("s"),
-    ).select(
-        "source",
-        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    ).select("source", md5_prefix32(F.col("s")).alias("h")).distinct()
     exact = sh.groupBy("source").agg(F.count("*").alias("exact_distinct"))
     w = Window.partitionBy("source").orderBy("h")
     ks = (
@@ -4078,7 +4092,9 @@ def q_stream_embedding_near_dup_replay(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select(
-        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("url"),
+        # width 12, not 6: F.lpad truncates longer inputs (see the text
+        # twin) — a 7-digit vec_id would silently collide at width 6
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("url"),
         F.timestamp_seconds(F.col("vec_id") * 61 + 86400).alias("warc_ts"),
         "embedding",
     )
@@ -4106,12 +4122,7 @@ def q_stream_embedding_near_dup_replay(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
-        F.col("url_lo").cast("long").alias("id_lo"),
-        F.col("url_hi").cast("long").alias("id_hi"),
-        F.col("distance").cast("int").alias("distance"),
-        (F.col("pair_ts").cast("long") - 86400).alias("pair_ts_sec"),
-    )
+    return _drain_replay_sink(spark, out_dir, (landing, out_dir, ckpt))
 
 
 def q_incremental_embedding_near_pairs(spark, sf_dir):
@@ -4130,7 +4141,11 @@ def q_incremental_embedding_near_pairs(spark, sf_dir):
     sig_udf = make_hyperplane_udf(EMB_DIM)
     d = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        # eligibility: EXACTLY dim elements (wrong-dim would sign to the
+        # kernel's masked 0 — the oracle's ev CTE carries the same gate)
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+        )
         .select(
             "vec_id",
             sig_udf(F.col("embedding").cast("array<double>")).alias("sig"),

@@ -287,14 +287,15 @@ def stream_embedding_near_pairs(
     With n_bands > radius the pigeonhole guarantee holds, so the emitted
     pair set is EXACTLY the Hamming-radius pairs within the horizon —
     gate-checkable against brute force over SQL-recomputed signatures,
-    not recall-statistical. Null/empty/wrong-dim vectors sign to no
-    usable signature and are dropped by the caller contract (same as the
-    batch ANN family's null filter)."""
+    not recall-statistical. Eligibility contract (same as the batch ANN
+    family): EXACTLY dim elements — a wrong-dim vector would sign to the
+    kernel's masked 0 and fabricate distance-0 pairs, so it is excluded
+    here and by the oracle's len = dim gate alike."""
     from ..operators.ann import make_hyperplane_udf
 
     sig_udf = make_hyperplane_udf(dim, seed=seed)
     docs = (
-        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(
             F.col(id_col).alias("url"),
             F.col(ts_col).alias("warc_ts"),

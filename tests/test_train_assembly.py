@@ -466,8 +466,11 @@ def test_kmv_topk_plan_is_partial(spark):
         .executedPlan()
         .toString()
     )
-    assert "WindowGroupLimit" in plan
-    assert plan.count("Partial") >= 1
+    # the Partial must be ON the WindowGroupLimit node line itself — a
+    # partial HashAggregate elsewhere in the plan must not satisfy this
+    wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert wgl_lines, plan
+    assert any("Partial" in l for l in wgl_lines), wgl_lines
 
 
 # --- incremental_embedding_near_pairs ---------------------------------------
@@ -525,3 +528,42 @@ def test_incremental_embedding_two_legs_match_full_restriction(spark):
     }
     assert got == want
     assert want, "fixture must produce batch-touching pairs"
+
+
+def test_wrong_dim_vectors_excluded_everywhere(spark):
+    """The hyperplane eligibility contract: a wrong-dimension vector must
+    be EXCLUDED by engine and oracle alike — the kernel would mask it to
+    signature 0 (fabricating distance-0 pairs) while a partial-dot SQL
+    signature would be nonzero. Plant two identical wrong-dim vectors
+    close in id-space and assert no pair mentions them on either engine."""
+    import duckdb as ddb
+
+    from pyspark.sql import functions as F
+
+    from intraarchivededuplicator_spark.operators.ann import ann_near_pairs
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bad = spark.createDataFrame(
+        [(900001, [1.0] * 8), (900002, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann_near_pairs(
+        base.unionByName(bad), threshold=0.5, dim=q.EMB_DIM
+    ).collect()
+    ids = {i for r in out for i in (r.id_lo, r.id_hi)}
+    assert 900001 not in ids and 900002 not in ids
+    # oracle twin: the planted rows vanish behind the len = dim gate
+    con = ddb.connect()
+    con.execute(
+        f"""CREATE VIEW embeddings AS
+            SELECT * FROM '{SF}/embeddings.parquet'
+            UNION ALL SELECT 900001, [1.0::FLOAT,1,1,1,1,1,1,1], 0
+            UNION ALL SELECT 900002, [1.0::FLOAT,1,1,1,1,1,1,1], 0"""
+    )
+    osql = o.sql_embedding_near_pairs_ann(q.EMB_DIM, q.EMB_SCALE, 0.5)
+    oids = {
+        i for row in con.sql(osql).fetchall() for i in (row[0], row[1])
+    }
+    assert 900001 not in oids and 900002 not in oids
